@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets multi-executor clusters over ~100 TB of data; these
+defaults encode the knobs that matter there (AQE, skew-join handling,
+Arrow batch size for pandas UDFs, shuffle partition sizing) while staying
+correct on ``local[N]`` for tests.
+
+Reference parity: the reference pipeline hand-tunes out-of-core batch
+sizes (``/root/reference/namematch/default_parameters.yaml:8-12``); in
+Spark those become partition counts + Arrow batch sizes and AQE handles
+runtime re-planning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults applied to every session the engine creates.  Callers may
+#: override any of them via the ``conf`` argument of :func:`get_spark`.
+_ENGINE_CONF: dict[str, str] = {
+    # Adaptive execution: runtime coalescing, skew-join splitting, and
+    # dynamic broadcast decisions — required by the 100 TB design.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs / applyInPandas (the feature stage).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Sized for local test runs; spark-submit overrides per cluster.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Parquet scans: keep splits bounded so a 100 TB scan parallelizes.
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # Deterministic timestamp semantics across engines.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "namematch-spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with engine defaults applied.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falls back to
+    ``local[*]``); on a real cluster it is supplied by ``spark-submit``
+    and must NOT be set here.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+    merged = dict(_ENGINE_CONF)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    """Stop the active session (used by the bench harness to re-launch
+    at a different parallelism level)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

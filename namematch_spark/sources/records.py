@@ -1,0 +1,100 @@
+"""Deterministic person-record derivation over the TPC-H ``orders`` table.
+
+The graft's correctness gate compares Spark DataFrame results against a
+DuckDB oracle over the same parquet tables, so the ER pipeline's *input*
+must be derivable identically in both engines.  ``PERSON_RECORDS_SQL`` is a
+single portable ANSI-SQL text (verified to parse and evaluate identically in
+Spark SQL and DuckDB) that turns each ``orders`` row into one person record:
+
+* the **entity** is the customer (``o_custkey``) — several orders per
+  customer yield several records per true entity, mirroring the reference's
+  multiple-records-per-person model
+  (``/root/reference/namematch/process_input_data.py:330-339``);
+* names come from small modular pools so common names create **hot blocks**
+  (the skew case the 100 TB design must survive);
+* a deterministic perturbation keyed on ``o_orderkey % 11`` injects typos,
+  transposed characters, missing dates, hyphenated last names and
+  initial-only first names — the same dirty-data cases the reference's test
+  fixtures encode (``/root/reference/tests/unit/data/raw_data.csv``);
+* ``uid`` (ground truth) is revealed for ~2/3 of records and blank
+  otherwise, mirroring the reference's partially-labeled UniqueID model
+  (``/root/reference/namematch/generate_must_links.py:52-53``).
+
+Missing values are the empty string ``''``, never NULL, per the reference's
+``na_filter=False`` convention (``process_input_data.py:86-92``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FIRST = ["JAMES", "MARY", "ROBERT", "PATRICIA", "JOHN", "JENNIFER",
+          "MICHAEL", "LINDA", "DAVID", "ELIZABETH", "WILLIAM", "BARBARA",
+          "RICHARD", "SUSAN", "JOSEPH", "JESSICA", "THOMAS", "SARAH",
+          "CHARLES"]
+_LAST = ["SMITH", "JOHNSON", "WILLIAMS", "BROWN", "JONES", "GARCIA",
+         "MILLER", "DAVIS", "RODRIGUEZ", "MARTINEZ", "HERNANDEZ", "LOPEZ",
+         "GONZALEZ", "WILSON", "ANDERSON", "THOMAS", "TAYLOR", "MOORE",
+         "JACKSON", "MARTIN", "LEE", "PEREZ", "THOMPSON"]
+_HYPH = ["NGUYEN", "KIM", "PATEL", "SINGH", "CHEN", "ALI", "KHAN"]
+
+
+def _case(expr: str, pool: list[str]) -> str:
+    branches = " ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(pool))
+    return f"CASE {expr} {branches} END"
+
+
+# Base (unperturbed) per-entity attributes, keyed on o_custkey.
+_BASE = f"""
+SELECT
+  o_orderkey,
+  o_custkey,
+  {_case(f"o_custkey % {len(_FIRST)}", _FIRST)} AS fn0,
+  {_case(f"o_custkey % {len(_LAST)}", _LAST)} AS ln0,
+  {_case(f"o_custkey % {len(_HYPH)}", _HYPH)} AS ln_alt,
+  CAST(make_date(1950 + o_custkey % 45,
+                 1 + o_custkey % 12,
+                 1 + o_custkey % 28) AS VARCHAR(10)) AS dob0,
+  CASE o_custkey % 2 WHEN 0 THEN 'M' ELSE 'F' END AS gender,
+  CAST(74 - o_custkey % 45 AS VARCHAR(3)) AS age,
+  o_orderkey % 11 AS perturb
+FROM {{orders}}
+"""
+
+#: One person record per orders row.  Portable across Spark SQL and DuckDB.
+PERSON_RECORDS_SQL = f"""
+SELECT
+  'ord__' || CAST(o_orderkey AS VARCHAR(20)) AS record_id,
+  CASE WHEN perturb = 4
+       THEN SUBSTR(fn0, 1, 1)
+       WHEN perturb = 0
+       THEN SUBSTR(fn0, 1, 1) || SUBSTR(fn0, 3)
+       ELSE fn0 END AS first_name,
+  CASE WHEN perturb = 1
+       THEN SUBSTR(ln0, 1, 1) || SUBSTR(ln0, 3, 1)
+            || SUBSTR(ln0, 2, 1) || SUBSTR(ln0, 4)
+       WHEN perturb = 3
+       THEN ln0 || '-' || ln_alt
+       ELSE ln0 END AS last_name,
+  CASE WHEN perturb = 2 THEN '' ELSE dob0 END AS dob,
+  gender,
+  CASE WHEN perturb = 5 THEN '' ELSE age END AS age,
+  CASE WHEN o_orderkey % 3 = 0
+       THEN ''
+       ELSE CAST(o_custkey AS VARCHAR(20)) END AS uid,
+  CAST(o_custkey AS VARCHAR(20)) AS true_entity
+FROM ({_BASE.strip()}) b
+""".strip()
+
+
+def person_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side derivation: register ``orders`` and run the shared SQL."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("__nm_orders")
+    return spark.sql(PERSON_RECORDS_SQL.format(orders="__nm_orders"))
+
+
+def person_records_oracle_cte(orders_view: str = "orders") -> str:
+    """The same derivation as a CTE body for DuckDB oracle SQL."""
+    return PERSON_RECORDS_SQL.format(orders=orders_view)
