@@ -1,0 +1,195 @@
+"""Stage 5/6 — match-model training, scoring, evaluation
+(reference: ``fit_model.py``, ``predict.py``,
+``model_evaluation_functions.py``).
+
+The reference trains a driver-local sklearn RandomForest on a collected
+sample (``fit_model.py:235-306``).  sklearn does not exist in this
+environment — and at 10^12-row scale a driver-side fit is the wrong
+design anyway — so this engine uses **Spark MLlib**'s
+``RandomForestClassifier``: training is distributed over the labeled
+data-rows DataFrame (no driver collect), and the fitted model broadcasts
+into the scoring stage automatically via ``model.transform`` (the
+BASELINE.json "broadcast of the classifier model" requirement is what
+MLlib does under the hood).
+
+Hyperparameters mirror the reference where MLlib has an equivalent:
+200 trees, ``minInstancesPerNode=25`` (the reference grid-searches
+{25, 150}, ``fit_model.py:278-299``).
+
+Missing feature values (NULL, from either-side-missing pairs) are imputed
+to ``-1.0``; the explicit ``var_<v>_missing`` indicators preserve the
+signal, mirroring the reference's mean-impute + MissingIndicator design
+(``fit_model.py:235-306``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml.classification import (RandomForestClassificationModel,
+                                       RandomForestClassifier)
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from namematch_spark.operators.pairs import FEATURE_COLS
+
+SEED = 42
+MAX_MATCH_TRAIN_N = 3_000_000  # reference default_parameters.yaml:64
+PCT_TRAIN = 0.9                # reference default_parameters.yaml:59
+
+
+@dataclass
+class MatchModel:
+    model: RandomForestClassificationModel
+    threshold: float
+    feature_cols: list[str]
+    eval_metrics: dict
+
+
+def _assemble(df: DataFrame, feature_cols: list[str]) -> DataFrame:
+    filled = df.fillna(-1.0, subset=feature_cols)
+    asm = VectorAssembler(inputCols=feature_cols, outputCol="features",
+                          handleInvalid="keep")
+    return asm.transform(filled)
+
+
+def train_match_model(data_rows: DataFrame,
+                      feature_cols: list[str] | None = None,
+                      num_trees: int = 100,
+                      beta: float = 0.5,
+                      default_threshold: float = 0.5) -> MatchModel:
+    """M1 + W5 + W6 + M5 — fit the RF on labeled pairs, pick the
+    F_beta-optimal threshold on a held-out split.
+
+    The labeled set is capped at ``MAX_MATCH_TRAIN_N`` by seeded
+    sampling (``fit_model.py:399-404``); the threshold sweep runs on a
+    2-decimal phat histogram — a tiny driver-side table regardless of
+    data size (W6, ``model_evaluation_functions.py:150-189``).
+    """
+    if feature_cols is None:
+        feature_cols = FEATURE_COLS
+    labeled = data_rows.filter(F.col("label") != "")
+    n_labeled = labeled.count()
+    if n_labeled > MAX_MATCH_TRAIN_N:
+        labeled = labeled.sample(MAX_MATCH_TRAIN_N / n_labeled, seed=SEED)
+    labeled = labeled.withColumn(
+        "y", (F.col("label") == "1").cast("double"))
+    # deterministic hash split (stable across re-evaluations, unlike rand)
+    bucket = F.pmod(F.xxhash64(F.col("dr_id"), F.lit(SEED)), F.lit(10))
+    train = labeled.filter(bucket < int(PCT_TRAIN * 10))
+    eval_ = labeled.filter(bucket >= int(PCT_TRAIN * 10))
+
+    assembled = _assemble(train, feature_cols)
+    rf = RandomForestClassifier(
+        featuresCol="features", labelCol="y",
+        numTrees=num_trees, minInstancesPerNode=25, maxDepth=12,
+        seed=SEED, subsamplingRate=0.8)
+    model = rf.fit(assembled)
+
+    # ---- threshold sweep on the held-out split (driver-side histogram)
+    scored_eval = score_pairs(model, eval_, feature_cols)
+    hist = (
+        scored_eval
+        .groupBy(F.round("phat", 2).alias("pb"), "y")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    pos = {}; neg = {}
+    for row in hist:
+        (pos if row["y"] == 1.0 else neg)[row["pb"]] = row["n"]
+    total_pos = sum(pos.values())
+    best_t, best_fb = default_threshold, -1.0
+    metrics = {}
+    t = 0.99
+    while t >= 0.02:
+        tp = sum(n for p, n in pos.items() if p >= t)
+        fp = sum(n for p, n in neg.items() if p >= t)
+        fn = total_pos - tp
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        if prec + rec:
+            fb = ((1 + beta ** 2) * prec * rec
+                  / (beta ** 2 * prec + rec))
+        else:
+            fb = 0.0
+        if fb > best_fb:
+            best_fb, best_t = fb, t
+            metrics = {"precision": prec, "recall": rec,
+                       f"f{beta}": fb, "threshold": t,
+                       "n_eval": total_pos + sum(neg.values())}
+        t = round(t - 0.01, 2)
+    return MatchModel(model=model, threshold=best_t,
+                      feature_cols=feature_cols, eval_metrics=metrics)
+
+
+def score_pairs(model: RandomForestClassificationModel,
+                data_rows: DataFrame,
+                feature_cols: list[str] | None = None) -> DataFrame:
+    """M4 — phat for every pair; distributed ``model.transform``
+    (``predict.py:88-141``)."""
+    if feature_cols is None:
+        feature_cols = FEATURE_COLS
+    assembled = _assemble(data_rows, feature_cols)
+    return (
+        model.transform(assembled)
+        .withColumn("phat",
+                    vector_to_array(F.col("probability")).getItem(1))
+        .drop("features", "rawPrediction", "probability", "prediction")
+    )
+
+
+def potential_links(scored: DataFrame, threshold: float) -> DataFrame:
+    """M4/M6 — pairs above threshold become potential edges
+    (``predict.py:109-134``)."""
+    return (
+        scored
+        .withColumn("gt", (F.col("label") == "1").cast("int"))
+        .filter((F.col("phat") >= threshold) | (F.col("gt") == 1))
+        .withColumn("potential_edge", F.lit(1))
+    )
+
+
+def pairwise_eval(predicted_pairs: DataFrame, data_rows: DataFrame,
+                  beta: float = 1.0) -> dict:
+    """Pairwise precision/recall/F1 over *labeled* pairs (the graft's
+    quality gate: BASELINE.json F1 >= 0.99 on labeled pairs at the same
+    blocking key).
+
+    ``predicted_pairs``: (record_id_1, record_id_2) predicted co-referent
+    (e.g. same predicted cluster).  ``data_rows``: the feature table
+    restricted to labeled pairs (label '1'/'0') — i.e. the evaluation is
+    *within blocking*, exactly how the reference evaluates
+    (``model_evaluation_functions.py:212-329``).
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least("record_id_1", "record_id_2").alias("record_id_1"),
+            F.greatest("record_id_1", "record_id_2").alias("record_id_2"),
+            *[c for c in df.columns
+              if c not in ("record_id_1", "record_id_2")])
+
+    labeled = canon(
+        data_rows.filter(F.col("label") != "")
+        .select("record_id_1", "record_id_2", "label"))
+    joined = labeled.join(
+        canon(predicted_pairs.select("record_id_1", "record_id_2"))
+        .distinct()
+        .withColumn("pred", F.lit(1)),
+        ["record_id_1", "record_id_2"], "left")
+    agg = joined.agg(
+        F.sum(((F.col("label") == "1") & F.col("pred").isNotNull())
+              .cast("int")).alias("tp"),
+        F.sum(((F.col("label") == "0") & F.col("pred").isNotNull())
+              .cast("int")).alias("fp"),
+        F.sum(((F.col("label") == "1") & F.col("pred").isNull())
+              .cast("int")).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = agg["tp"] or 0, agg["fp"] or 0, agg["fn"] or 0
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    f = ((1 + beta ** 2) * prec * rec / (beta ** 2 * prec + rec)
+         if prec + rec else 0.0)
+    return {"tp": tp, "fp": fp, "fn": fn,
+            "precision": prec, "recall": rec, "f1": f}

@@ -1,0 +1,221 @@
+"""Stage 4 — record-pair expansion + pairwise features
+(reference: ``generate_data_rows.py`` + ``comparison_functions.py``).
+
+Expansion is the reference's J6 "double join" (``generate_data_rows.py:
+363-401``): candidate *name* pairs are joined twice against all-names to
+produce a side-by-side record-pair table.  The reference builds a manual
+hash index (``an_ix_map``) for this; in Spark it is two shuffle joins on
+``nn_string`` — AQE broadcasts the smaller side when possible and splits
+skewed names.
+
+Features: everything Spark has natively stays native (levenshtein,
+soundex, exact/prefix equality, day diff, numeric diff — whole-stage
+codegen); Jaro-Winkler and NYSIIS, which Spark lacks, run in ONE
+Arrow-batched pandas UDF (per BASELINE.json: pairwise scoring inside
+pandas/Arrow UDFs, no per-row Python).
+
+Missingness convention: feature value is NULL when either side is ``''``
+(reference emits NaN, ``comparison_functions.py:176-183``), with an
+explicit ``var_<v>_missing`` indicator.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from namematch_spark.functions.strings import jw_dist_series, nysiis_eq_series
+
+
+def expand_to_record_pairs(cand_nn: DataFrame, all_names: DataFrame
+                           ) -> DataFrame:
+    """J6 + J7 — name pairs × records → side-by-side record pairs.
+
+    Output: one row per unordered record pair, with ``_1``/``_2``
+    suffixed attribute columns.  Self pairs are dropped and same-name
+    pairs are canonicalized by record_id (``generate_data_rows.py:
+    196-202``).
+    """
+    attrs = ["record_id", "first_name", "last_name", "dob", "gender",
+             "age", "uid", "blockstring"]
+    an = (
+        all_names
+        .filter(F.col("drop_from_nm") == 0)
+        .withColumn("nn_string",
+                    F.concat_ws(" ", "first_name", "last_name"))
+        .select("nn_string", *attrs)
+    )
+    side1 = an.select(
+        F.col("nn_string").alias("nn_string_1"),
+        *[F.col(a).alias(f"{a}_1") for a in attrs])
+    side2 = an.select(
+        F.col("nn_string").alias("nn_string_2"),
+        *[F.col(a).alias(f"{a}_2") for a in attrs])
+    pairs = (
+        cand_nn
+        .join(side1, "nn_string_1")
+        .join(side2, "nn_string_2")
+        .filter(
+            (F.col("nn_string_1") != F.col("nn_string_2"))
+            | (F.col("record_id_1") < F.col("record_id_2")))
+    )
+    return pairs.withColumn(
+        "dr_id", F.concat_ws("__", "record_id_1", "record_id_2"))
+
+
+def _missing(c1: Column, c2: Column) -> Column:
+    return F.when((c1 == "") | (c2 == ""), F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def _present(c1: Column, c2: Column, val: Column) -> Column:
+    return F.when((c1 == "") | (c2 == ""), F.lit(None).cast("double")
+                  ).otherwise(val.cast("double"))
+
+
+def string_features(v: str) -> list[Column]:
+    """F1-F4 native features for a String variable ``v``
+    (``comparison_functions.py:176-198``)."""
+    c1, c2 = F.col(f"{v}_1"), F.col(f"{v}_2")
+    return [
+        _missing(c1, c2).alias(f"var_{v}_missing"),
+        _present(c1, c2, F.levenshtein(c1, c2)).alias(f"var_{v}_edit_dist"),
+        _present(c1, c2, (c1 == c2).cast("int")).alias(f"var_{v}_exact_match"),
+        _present(c1, c2, (F.substring(c1, 1, 1) == F.substring(c2, 1, 1))
+                 .cast("int")).alias(f"var_{v}_exact_match_1st"),
+        _present(c1, c2, (F.substring(c1, 1, 3) == F.substring(c2, 1, 3))
+                 .cast("int")).alias(f"var_{v}_exact_match_1st2nd3rd"),
+        _present(c1, c2, (F.soundex(c1) == F.soundex(c2)).cast("int"))
+        .alias(f"var_{v}_soundex"),
+    ]
+
+
+def date_features(v: str) -> list[Column]:
+    """F9 — edit distance on the date *string* + absolute day diff
+    (``comparison_functions.py:276-312``)."""
+    c1, c2 = F.col(f"{v}_1"), F.col(f"{v}_2")
+    daydiff = F.abs(F.datediff(c1.try_cast("date"), c2.try_cast("date")))
+    return [
+        _missing(c1, c2).alias(f"var_{v}_missing"),
+        _present(c1, c2, F.levenshtein(c1, c2)).alias(f"var_{v}_edit_dist"),
+        _present(c1, c2, daydiff).alias(f"var_{v}_day_diff"),
+    ]
+
+
+def numeric_features(v: str) -> list[Column]:
+    """F7 (``comparison_functions.py:214-239``)."""
+    c1, c2 = F.col(f"{v}_1"), F.col(f"{v}_2")
+    return [
+        _missing(c1, c2).alias(f"var_{v}_missing"),
+        _present(c1, c2, F.abs(c1.try_cast("double") - c2.try_cast("double"))
+                 ).alias(f"var_{v}_num_diff"),
+    ]
+
+
+def categorical_features(v: str) -> list[Column]:
+    """F8 (``comparison_functions.py:242-273``)."""
+    c1, c2 = F.col(f"{v}_1"), F.col(f"{v}_2")
+    return [
+        _missing(c1, c2).alias(f"var_{v}_missing"),
+        _present(c1, c2, (c1 == c2).cast("int"))
+        .alias(f"var_{v}_exact_match"),
+    ]
+
+
+def _py_string_features_impl(fn1: pd.Series, fn2: pd.Series,
+                             ln1: pd.Series, ln2: pd.Series
+                             ) -> pd.DataFrame:
+    """F5 + F6 — the two metrics Spark lacks, in one Arrow batch pass."""
+    return pd.DataFrame({
+        "jw_fn": jw_dist_series(fn1, fn2),
+        "jw_ln": jw_dist_series(ln1, ln2),
+        "nysiis_fn": nysiis_eq_series(fn1, fn2),
+        "nysiis_ln": nysiis_eq_series(ln1, ln2),
+    })
+
+
+def _py_string_features(*cols):
+    # udf creation is deferred: the DDL return type needs a live session
+    udf = pandas_udf(
+        "jw_fn double, jw_ln double, nysiis_fn double, nysiis_ln double"
+    )(_py_string_features_impl)
+    return udf(*cols)
+
+
+def label_expr(leven_thresh: int | None = None) -> Column:
+    """F14 — 3-state label from the uid pair
+    (``comparison_functions.py:349-396``): ``'1'`` both present & equal,
+    ``'0'`` both present & different, ``''`` otherwise.  With
+    ``leven_thresh``, near-identical uids (possible typos) are demoted
+    from ``'0'`` to ``''``.
+    """
+    u1, u2 = F.col("uid_1"), F.col("uid_2")
+    base = (
+        F.when((u1 == "") | (u2 == ""), F.lit(""))
+        .when(u1 == u2, F.lit("1"))
+        .otherwise(F.lit("0"))
+    )
+    if leven_thresh is None:
+        return base
+    return F.when(
+        (base == "0") & (F.levenshtein(u1, u2) <= leven_thresh), F.lit("")
+    ).otherwise(base)
+
+
+def exactmatch_expr(exact_vars: list[str]) -> Column:
+    """F13 — all exact-match variables equal & non-missing
+    (``generate_data_rows.py:297-310``)."""
+    cond = F.lit(True)
+    for v in exact_vars:
+        c1, c2 = F.col(f"{v}_1"), F.col(f"{v}_2")
+        cond = cond & (c1 != "") & (c1 == c2)
+    return cond.cast("int")
+
+
+def pair_features(record_pairs: DataFrame,
+                  leven_thresh: int | None = 1,
+                  exact_vars: list[str] | None = None) -> DataFrame:
+    """Full feature table over side-by-side record pairs (the
+    "data-rows" table, ``generate_data_rows.py:182-190``)."""
+    if exact_vars is None:
+        exact_vars = ["first_name", "last_name", "dob"]
+    feats: list[Column] = []
+    for v in ("first_name", "last_name"):
+        feats += string_features(v)
+    feats += date_features("dob")
+    feats += numeric_features("age")
+    feats += categorical_features("gender")
+
+    py = _py_string_features(
+        F.col("first_name_1"), F.col("first_name_2"),
+        F.col("last_name_1"), F.col("last_name_2"))
+
+    return (
+        record_pairs
+        .select(
+            "dr_id", "record_id_1", "record_id_2", "cos_dist",
+            "uid_1", "uid_2",
+            *feats,
+            exactmatch_expr(exact_vars).alias("exactmatch"),
+            py.alias("__py"))
+        .withColumn("var_first_name_jw_dist", F.col("__py.jw_fn"))
+        .withColumn("var_last_name_jw_dist", F.col("__py.jw_ln"))
+        .withColumn("var_first_name_nysiis", F.col("__py.nysiis_fn"))
+        .withColumn("var_last_name_nysiis", F.col("__py.nysiis_ln"))
+        .drop("__py")
+        .withColumn("label", label_expr(leven_thresh))
+        .withColumn("labeled_data",
+                    (F.col("label") != "").cast("int"))
+    )
+
+
+FEATURE_COLS = (
+    [f"var_{v}_{m}" for v in ("first_name", "last_name")
+     for m in ("missing", "edit_dist", "exact_match", "exact_match_1st",
+               "exact_match_1st2nd3rd", "soundex", "jw_dist", "nysiis")]
+    + ["var_dob_missing", "var_dob_edit_dist", "var_dob_day_diff",
+       "var_age_missing", "var_age_num_diff",
+       "var_gender_missing", "var_gender_exact_match",
+       "cos_dist"]
+)
