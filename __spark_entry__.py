@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship full record-linkage pipeline at
+sf0.001 and returns the cluster assignment.  ``queries()`` exposes every
+implemented operator from SURVEY.md §2 (plus the training-data-pipeline
+operators) as (spark, sf_dir) callables; ``oracle_sql()`` gives the
+DuckDB-checkable equivalents (rows-only for the ML-dependent stages,
+which are not SQL-expressible).
 """
 
 from __future__ import annotations
@@ -12,27 +13,291 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from namematch_spark.operators import blocking as B
+from namematch_spark.operators import dedup as D
+from namematch_spark.operators import similarity as S
+from namematch_spark.operators.cluster import connected_components
+from namematch_spark.operators.model import potential_links, score_pairs
+from namematch_spark.operators.multimodal import (docs_as_media,
+                                                  extract_media_features)
+from namematch_spark.operators.mustlinks import must_links
+from namematch_spark.operators.pairs import (expand_to_record_pairs,
+                                             pair_features)
+from namematch_spark.operators.preprocess import preprocess
+from namematch_spark.operators.textstats import text_profile
+from namematch_spark.plans import oracles
+from namematch_spark.sources.records import person_records
+
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+def _an(spark: SparkSession, sf: str) -> DataFrame:
+    return preprocess(person_records(spark, sf))
+
+
+AN_COLS = ["record_id", "first_name", "last_name", "dob", "gender",
+           "age", "uid", "blockstring", "drop_from_nm"]
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _read(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# ER pipeline queries
+# ---------------------------------------------------------------------------
+
+def q_er_preprocess(spark, sf):
+    return _an(spark, sf).select(*AN_COLS)
+
+
+def q_er_mustlinks(spark, sf):
+    return must_links(_an(spark, sf))
+
+
+def q_er_blockstats(spark, sf):
+    return B.nn_strings(_an(spark, sf))
+
+
+def q_er_penalty(spark, sf):
+    return B.commonness_penalty(_an(spark, sf)).select(
+        "last_name", F.round("commonness_penalty", 6)
+        .alias("commonness_penalty"))
+
+
+def q_er_det_candidates(spark, sf):
+    nn = B.nn_strings(_an(spark, sf))
+    return B.det_candidates(nn).select("nn_string_1", "nn_string_2")
+
+
+def q_er_lsh_candidates(spark, sf):
+    nn = B.nn_strings(_an(spark, sf))
+    return B.lsh_candidates(nn).select("nn_string_1", "nn_string_2")
+
+
+def q_er_candidates(spark, sf):
+    return B.candidate_nn_pairs(_an(spark, sf)).select(
+        "nn_string_1", "nn_string_2", F.round("cos_dist", 6)
+        .alias("cos_dist"))
+
+
+FEATURE_ORACLE_COLS = [
+    "dr_id",
+    "var_first_name_missing", "var_first_name_edit_dist",
+    "var_first_name_jw_dist",
+    "var_last_name_missing", "var_last_name_edit_dist",
+    "var_last_name_jw_dist",
+    "var_dob_missing", "var_dob_edit_dist", "var_dob_day_diff",
+    "var_age_missing", "var_age_num_diff",
+    "var_gender_missing", "var_gender_exact_match",
+    "label",
+]
+
+
+def q_er_pair_features(spark, sf):
+    an = _an(spark, sf)
+    dr = pair_features(expand_to_record_pairs(
+        B.candidate_nn_pairs(an), an), leven_thresh=1)
+    return dr.select(
+        *[F.round(c, 6).alias(c)
+          if c.startswith("var_") and c.endswith("jw_dist")
+          else F.col(c) for c in FEATURE_ORACLE_COLS])
+
+
+def q_er_cc_mustlinks(spark, sf):
+    an = _an(spark, sf)
+    ml = must_links(an)
+    nodes = an.filter(F.col("drop_from_nm") == 0).select("record_id")
+    return connected_components(ml, nodes)
+
+
+def q_er_potential_links(spark, sf):
+    # RF-dependent: rows-only check (non-SQL-expressible)
+    from namematch_spark.operators.model import train_match_model
+    an = _an(spark, sf)
+    dr = pair_features(expand_to_record_pairs(
+        B.candidate_nn_pairs(an), an), leven_thresh=1).cache()
+    mm = train_match_model(dr)
+    return potential_links(score_pairs(mm.model, dr), mm.threshold).select(
+        "dr_id", "record_id_1", "record_id_2", "phat", "gt")
+
+
+def q_er_clusters(spark, sf):
+    from namematch_spark.pipeline import run_pipeline
+    res = run_pipeline(person_records(spark, sf))
+    return res.clusters
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries
+# ---------------------------------------------------------------------------
+
+def q_doc_dedup_exact(spark, sf):
+    return D.exact_dedup(_docs(spark, sf))
+
+
+def q_doc_minhash_lsh(spark, sf):
+    return D.minhash_lsh_dedup(_docs(spark, sf), threshold=0.7,
+                               num_hashes=16, rows_per_band=1)
+
+
+def q_doc_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_dedup(_docs(spark, sf), threshold=0.5)
+
+
+def q_doc_simhash(spark, sf):
+    return D.simhash_dedup(_docs(spark, sf), max_hamming=3)
+
+
+def q_doc_profile(spark, sf):
+    return text_profile(_docs(spark, sf)).select(
+        "doc_id", "pred_lang", "n_tokens", "n_subwords", "quality",
+        "fingerprint")
+
+
+def q_emb_knn(spark, sf):
+    e = _embs(spark, sf)
+    return S.brute_force_knn(e, e, k=5)
+
+
+def q_emb_near_dup(spark, sf):
+    return S.cosine_near_dup(_embs(spark, sf), threshold=0.35, exact=True)
+
+
+def q_mm_features(spark, sf):
+    return extract_media_features(docs_as_media(_docs(spark, sf))).select(
+        "media_id", "mime", "n_bytes", "sha256", "decode_ok")
+
+
+# ---------------------------------------------------------------------------
+# relational demos (scan/agg/window/join over TPC-H tables)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark, sf):
+    li = _read(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast(
+            "timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+             F.count("*").alias("count_order"))
+    )
+
+
+def q_win_top_orders(spark, sf):
+    from pyspark.sql.window import Window
+    o = _read(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.select("o_custkey", "o_orderkey", "o_totalprice",
+                     F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 3))
+
+
+def q_join_nation_revenue(spark, sf):
+    o = _read(spark, sf, "orders")
+    c = _read(spark, sf, "customer")
+    n = _read(spark, sf, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+def q_events_hourly(spark, sf):
+    e = _read(spark, sf, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full record-linkage pipeline at sf0.001 — returns
+    the (record_id, cluster_id) assignment."""
+    from namematch_spark.pipeline import run_pipeline
+    res = run_pipeline(person_records(spark, "/root/testdata/sf0.001"))
+    return res.clusters
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # ER pipeline (SURVEY.md §2)
+        "er_preprocess": q_er_preprocess,
+        "er_mustlinks": q_er_mustlinks,
+        "er_blockstats": q_er_blockstats,
+        "er_penalty": q_er_penalty,
+        "er_det_candidates": q_er_det_candidates,
+        "er_lsh_candidates": q_er_lsh_candidates,
+        "er_candidates": q_er_candidates,
+        "er_pair_features": q_er_pair_features,
+        "er_cc_mustlinks": q_er_cc_mustlinks,
+        "er_potential_links": q_er_potential_links,
+        "er_clusters": q_er_clusters,
+        # training-data pipeline
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_simhash": q_doc_simhash,
+        "doc_profile": q_doc_profile,
+        "emb_knn": q_emb_knn,
+        "emb_near_dup": q_emb_near_dup,
+        "mm_features": q_mm_features,
+        # relational demos
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "win_top_orders": q_win_top_orders,
+        "join_nation_revenue": q_join_nation_revenue,
+        "events_hourly": q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "er_preprocess": oracles.er_preprocess(),
+        "er_mustlinks": oracles.er_mustlinks(),
+        "er_blockstats": oracles.er_blockstats(),
+        "er_penalty": oracles.er_penalty(),
+        "er_det_candidates": oracles.er_det_candidates(),
+        "er_lsh_candidates": oracles.er_lsh_candidates(),
+        "er_candidates": oracles.er_candidates(),
+        "er_pair_features": oracles.er_pair_features(),
+        "er_cc_mustlinks": oracles.er_cc_mustlinks(),
+        # er_potential_links / er_clusters: RF-dependent → rows-only
+        "doc_dedup_exact": oracles.doc_dedup_exact(),
+        "doc_minhash_lsh": oracles.doc_minhash_lsh(),
+        "doc_ngram_jaccard": oracles.doc_ngram_jaccard(),
+        "doc_simhash": oracles.doc_simhash_pairs(),
+        "doc_profile": oracles.doc_profile(),
+        "emb_knn": oracles.emb_knn(),
+        "emb_near_dup": oracles.emb_near_dup(threshold=0.35),
+        "mm_features": oracles.mm_features(),
+        "agg_pricing_summary": oracles.agg_pricing_summary(),
+        "win_top_orders": oracles.win_top_orders(),
+        "join_nation_revenue": oracles.join_nation_revenue(),
+        "events_hourly": oracles.events_hourly(),
+    }

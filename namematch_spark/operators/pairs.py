@@ -173,6 +173,32 @@ def exactmatch_expr(exact_vars: list[str]) -> Column:
     return cond.cast("int")
 
 
+def _py_metrics_dim(record_pairs: DataFrame, v: str) -> DataFrame:
+    """Python-metric dimension table: (s1, s2) → (jw_dist, nysiis_eq)
+    over the *distinct* value pairs of variable ``v``.
+
+    Key-level work dedup (the reference's own blocking optimization,
+    ``block.py:565-572``, applied to features): record pairs repeat the
+    same name combination massively — at sf0.01, 3.2M record pairs
+    collapse to ~50k distinct name pairs, a 60x cut in Python work.
+    The dim table is small → broadcast join back.
+    """
+    pdf = pandas_udf("jw double, ny double")(
+        lambda a, b: pd.DataFrame({
+            "jw": jw_dist_series(a, b),
+            "ny": nysiis_eq_series(a, b)}))
+    return (
+        record_pairs
+        .select(F.col(f"{v}_1").alias("__s1"),
+                F.col(f"{v}_2").alias("__s2"))
+        .distinct()
+        .withColumn("__m", pdf(F.col("__s1"), F.col("__s2")))
+        .select("__s1", "__s2",
+                F.col("__m.jw").alias(f"var_{v}_jw_dist"),
+                F.col("__m.ny").alias(f"var_{v}_nysiis"))
+    )
+
+
 def pair_features(record_pairs: DataFrame,
                   leven_thresh: int | None = 1,
                   exact_vars: list[str] | None = None) -> DataFrame:
@@ -187,26 +213,26 @@ def pair_features(record_pairs: DataFrame,
     feats += numeric_features("age")
     feats += categorical_features("gender")
 
-    py = _py_string_features(
+    base = record_pairs.select(
+        "dr_id", "record_id_1", "record_id_2", "cos_dist",
+        "uid_1", "uid_2",
         F.col("first_name_1"), F.col("first_name_2"),
-        F.col("last_name_1"), F.col("last_name_2"))
+        F.col("last_name_1"), F.col("last_name_2"),
+        *feats,
+        exactmatch_expr(exact_vars).alias("exactmatch"),
+        label_expr(leven_thresh).alias("label"))
+
+    for v in ("first_name", "last_name"):
+        dim = _py_metrics_dim(record_pairs, v)
+        base = base.join(
+            F.broadcast(dim),
+            (F.col(f"{v}_1") == dim.__s1) & (F.col(f"{v}_2") == dim.__s2),
+            "left").drop("__s1", "__s2")
 
     return (
-        record_pairs
-        .select(
-            "dr_id", "record_id_1", "record_id_2", "cos_dist",
-            "uid_1", "uid_2",
-            *feats,
-            exactmatch_expr(exact_vars).alias("exactmatch"),
-            py.alias("__py"))
-        .withColumn("var_first_name_jw_dist", F.col("__py.jw_fn"))
-        .withColumn("var_last_name_jw_dist", F.col("__py.jw_ln"))
-        .withColumn("var_first_name_nysiis", F.col("__py.nysiis_fn"))
-        .withColumn("var_last_name_nysiis", F.col("__py.nysiis_ln"))
-        .drop("__py")
-        .withColumn("label", label_expr(leven_thresh))
-        .withColumn("labeled_data",
-                    (F.col("label") != "").cast("int"))
+        base
+        .drop("first_name_1", "first_name_2", "last_name_1", "last_name_2")
+        .withColumn("labeled_data", (F.col("label") != "").cast("int"))
     )
 
 

@@ -37,7 +37,7 @@ class PipelineConfig:
     cos_bar: float = 0.4
     det_cos_bar: float = 0.55
     num_hashes: int = 24
-    rows_per_band: int = 1
+    rows_per_band: int = 2
     num_trees: int = 100
     is_valid_cluster: Callable[[set[str]], bool] | None = None
     checkpoint_dir: str | None = None

@@ -1,0 +1,667 @@
+"""DuckDB oracle SQL builders for the driver's correctness gate.
+
+Every query in ``__spark_entry__.queries()`` has an independent ANSI-SQL
+formulation here, runnable by DuckDB over the same parquet views.  The
+SQL is DuckDB-dialect (it only ever runs there); determinism across
+engines comes from:
+
+* the portable hash ``('0x' || substring(md5(s),1,15))::BIGINT``
+  == Spark ``conv(substring(md5(s),1,15),16,10)::bigint``;
+* the same LCG-derived universal-hash constants (imported from
+  ``blocking._lcg_pairs`` — single source of truth);
+* rounding every float to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from namematch_spark.operators.blocking import MERSENNE_P, _lcg_pairs
+from namematch_spark.sources.records import person_records_oracle_cte
+
+P = MERSENNE_P
+
+# ---------------------------------------------------------------------------
+# shared CTE fragments (ER pipeline over the person-record derivation)
+# ---------------------------------------------------------------------------
+
+PERSON = person_records_oracle_cte("orders")
+
+# preprocessing: our synthetic names are [A-Z-]+ so the full cleaning
+# chain reduces to hyphen→space; dob/gender/age are valid-or-'' already.
+AN = f"""
+an AS (
+  SELECT record_id,
+         first_name,
+         replace(last_name, '-', ' ') AS last_name,
+         dob, gender, age, uid,
+         first_name || '::' || replace(last_name, '-', ' ')
+            || '::' || dob AS blockstring,
+         CASE WHEN (first_name = 'JOHN'
+                    AND replace(last_name, '-', ' ') = 'DOE')
+                   OR (first_name = 'JANE'
+                       AND replace(last_name, '-', ' ') = 'DOE')
+                   OR first_name = 'UNKNOWN'
+                   OR replace(last_name, '-', ' ') = 'UNKNOWN'
+              THEN 1 ELSE 0 END AS drop_from_nm,
+         first_name || ' ' || replace(last_name, '-', ' ') AS nn_string
+  FROM person
+)
+"""
+
+ML = """
+ml AS (
+  SELECT DISTINCT
+         a.record_id  AS record_id_1,
+         b.record_id  AS record_id_2,
+         a.blockstring AS blockstring_1,
+         b.blockstring AS blockstring_2,
+         a.drop_from_nm AS drop_from_nm_1,
+         b.drop_from_nm AS drop_from_nm_2
+  FROM an a JOIN an b ON a.uid = b.uid
+  WHERE a.uid <> '' AND b.uid <> ''
+    AND (a.blockstring < b.blockstring
+         OR (a.blockstring = b.blockstring
+             AND a.record_id < b.record_id))
+)
+"""
+
+NN = """
+nn AS (
+  SELECT nn_string, count(*) AS n_total
+  FROM an WHERE drop_from_nm = 0
+  GROUP BY nn_string
+)
+"""
+
+PEN = """
+pen AS (
+  SELECT last_name,
+         round((ntile(1000) OVER (ORDER BY ln_count, last_name) - 1)
+               / 999.0 * 0.1, 6) AS commonness_penalty
+  FROM (SELECT last_name, count(*) AS ln_count
+        FROM an WHERE drop_from_nm = 0 AND last_name <> ''
+        GROUP BY last_name)
+)
+"""
+
+# deterministic phonetic block key (consonant skeleton of last-name
+# first token + first initial) — mirrors blocking.det_block_key
+DETKEY = """
+detkey AS (
+  SELECT nn_string,
+         substr(nn_string, 1, 1) || '|' ||
+         regexp_replace(
+            coalesce(string_split(nn_string, ' ')[2],
+                     string_split(nn_string, ' ')[1]),
+            '[AEIOUY]', '', 'g') AS bk
+  FROM nn
+)
+"""
+
+DET_PAIRS = """
+det_pairs AS (
+  SELECT l.nn_string AS nn_string_1, r.nn_string AS nn_string_2
+  FROM detkey l JOIN detkey r ON l.bk = r.bk
+  WHERE l.nn_string < r.nn_string
+)
+"""
+
+
+def lsh_pairs_cte(num_hashes: int = 24, rows_per_band: int = 2) -> str:
+    """Name-shingle minhash LSH candidate pairs, mirroring
+    ``blocking.lsh_candidates`` exactly (band key = '_'-joined minhash
+    values of the band, same as Spark's concat_ws over the slice)."""
+    mins = ",\n         ".join(
+        f"min(({a}::BIGINT * h + {b}) % {P}) AS m{i}"
+        for i, (a, b) in enumerate(_lcg_pairs(num_hashes)))
+    n_bands = num_hashes // rows_per_band
+    band_keys = []
+    for b in range(n_bands):
+        parts = " || '_' || ".join(
+            f"m{b * rows_per_band + j}::VARCHAR"
+            for j in range(rows_per_band))
+        band_keys.append(parts)
+    bands_union = "\n  UNION ALL\n".join(
+        f"  SELECT nn_string, {b} AS band, {key} AS bkey FROM sig"
+        for b, key in enumerate(band_keys))
+    return f"""
+sh AS (
+  SELECT DISTINCT nn_string, substr(p, i, 2) AS s
+  FROM (SELECT nn_string, '*' || nn_string || '*' AS p,
+               unnest(generate_series(1, length(nn_string) + 1)) AS i
+        FROM nn)
+),
+hs AS (
+  SELECT nn_string,
+         ('0x' || substring(md5(s), 1, 15))::BIGINT % {P} AS h
+  FROM sh
+),
+sig AS (
+  SELECT nn_string,
+         {mins}
+  FROM hs GROUP BY nn_string
+),
+bands AS (
+{bands_union}
+),
+lsh_pairs AS (
+  SELECT DISTINCT l.nn_string AS nn_string_1, r.nn_string AS nn_string_2
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey
+  WHERE l.nn_string < r.nn_string
+)
+"""
+
+
+# weighted shingle vectors + cosine (mirrors
+# blocking.weighted_shingle_vectors / cosine_verify)
+VEC = """
+nnparts AS (
+  SELECT nn_string,
+         string_split(nn_string, ' ')[1] AS fn,
+         CASE WHEN instr(nn_string, ' ') > 0
+              THEN substr(nn_string, instr(nn_string, ' ') + 1)
+              ELSE '' END AS ln
+  FROM nn
+),
+fnsh AS (
+  SELECT nn_string, substr(p, i, 2) AS sh,
+         1.0 / pow(length(p) - 1, 0.1) AS w
+  FROM (SELECT nn_string, '*' || fn || '*' AS p,
+               unnest(generate_series(1, length(fn) + 1)) AS i
+        FROM nnparts)
+),
+lnsh AS (
+  SELECT nn_string, substr(p, i, 2) AS sh,
+         1.4 / pow(length(p) - 1, 0.1) AS w
+  FROM (SELECT nn_string, '*' || ln || '*' AS p,
+               unnest(generate_series(1, length(ln) + 1)) AS i
+        FROM nnparts WHERE ln <> '')
+),
+vec AS (
+  SELECT nn_string, sh, sum(w) AS w
+  FROM (SELECT * FROM fnsh UNION ALL SELECT * FROM lnsh)
+  GROUP BY nn_string, sh
+),
+vnorm AS (
+  SELECT nn_string, sum(w * w) AS n2 FROM vec GROUP BY nn_string
+)
+"""
+
+COS = """
+cosd AS (
+  SELECT c.nn_string_1, c.nn_string_2, c.det_block,
+         round(1 - coalesce(d.dot, 0)
+                   / sqrt(n1.n2 * n2.n2), 6) AS cos_dist
+  FROM cand c
+  LEFT JOIN (
+    SELECT c2.nn_string_1, c2.nn_string_2,
+           sum(v1.w * v2.w) AS dot
+    FROM cand c2
+    JOIN vec v1 ON v1.nn_string = c2.nn_string_1
+    JOIN vec v2 ON v2.nn_string = c2.nn_string_2 AND v2.sh = v1.sh
+    GROUP BY c2.nn_string_1, c2.nn_string_2
+  ) d ON d.nn_string_1 = c.nn_string_1 AND d.nn_string_2 = c.nn_string_2
+  JOIN vnorm n1 ON n1.nn_string = c.nn_string_1
+  JOIN vnorm n2 ON n2.nn_string = c.nn_string_2
+)
+"""
+
+
+def candidates_cte(num_hashes: int = 24, cos_bar: float = 0.4,
+                   det_cos_bar: float = 0.55) -> str:
+    """Full blocking output (exact ∪ det ∪ LSH + cosine + penalty bars),
+    mirroring ``blocking.candidate_nn_pairs``."""
+    return f"""
+{AN.strip()},
+{NN.strip()},
+{PEN.strip()},
+{DETKEY.strip()},
+{DET_PAIRS.strip()},
+{lsh_pairs_cte(num_hashes).strip()},
+cand AS (
+  SELECT nn_string_1, nn_string_2, max(det_block) AS det_block
+  FROM (
+    SELECT nn_string_1, nn_string_2, 0 AS det_block FROM lsh_pairs
+    UNION ALL
+    SELECT nn_string_1, nn_string_2, 1 AS det_block FROM det_pairs
+  ) GROUP BY nn_string_1, nn_string_2
+),
+{VEC.strip()},
+{COS.strip()},
+cand_final AS (
+  SELECT nn_string AS nn_string_1, nn_string AS nn_string_2,
+         0.0 AS cos_dist
+  FROM nn WHERE n_total > 1
+  UNION ALL
+  SELECT c.nn_string_1, c.nn_string_2, c.cos_dist
+  FROM cosd c
+  LEFT JOIN pen
+    ON pen.last_name = CASE WHEN instr(c.nn_string_1, ' ') > 0
+         THEN regexp_extract(c.nn_string_1, '([^ ]+)$', 1)
+         ELSE c.nn_string_1 END
+  WHERE c.cos_dist - coalesce(pen.commonness_penalty, 0) <= {cos_bar}
+     OR (c.det_block = 1
+         AND c.cos_dist - coalesce(pen.commonness_penalty, 0)
+             <= {det_cos_bar})
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# public oracle texts (ER)
+# ---------------------------------------------------------------------------
+
+def er_preprocess() -> str:
+    return f"""
+WITH person AS ({PERSON}),
+{AN.strip()}
+SELECT record_id, first_name, last_name, dob, gender, age, uid,
+       blockstring, drop_from_nm
+FROM an
+"""
+
+
+def er_mustlinks() -> str:
+    return f"""
+WITH person AS ({PERSON}),
+{AN.strip()},
+{ML.strip()}
+SELECT * FROM ml
+"""
+
+
+def er_blockstats() -> str:
+    return f"""
+WITH person AS ({PERSON}),
+{AN.strip()},
+{NN.strip()}
+SELECT nn_string, n_total FROM nn
+"""
+
+
+def er_penalty() -> str:
+    return f"""
+WITH person AS ({PERSON}),
+{AN.strip()},
+{PEN.strip()}
+SELECT last_name, commonness_penalty FROM pen
+"""
+
+
+def er_det_candidates() -> str:
+    return f"""
+WITH person AS ({PERSON}),
+{AN.strip()},
+{NN.strip()},
+{DETKEY.strip()},
+{DET_PAIRS.strip()}
+SELECT nn_string_1, nn_string_2 FROM det_pairs
+"""
+
+
+def er_lsh_candidates(num_hashes: int = 24, rows_per_band: int = 2) -> str:
+    return f"""
+WITH person AS ({PERSON}),
+{AN.strip()},
+{NN.strip()},
+{lsh_pairs_cte(num_hashes, rows_per_band).strip()}
+SELECT nn_string_1, nn_string_2 FROM lsh_pairs
+"""
+
+
+def er_candidates() -> str:
+    return f"""
+WITH person AS ({PERSON}),
+{candidates_cte().strip()}
+SELECT nn_string_1, nn_string_2, cos_dist FROM cand_final
+"""
+
+
+def er_pair_features() -> str:
+    """Record-pair expansion + the cross-engine-checkable feature subset
+    (everything except soundex/nysiis, which have no DuckDB equivalent —
+    those are covered by pytest goldens instead)."""
+    return f"""
+WITH person AS ({PERSON}),
+{candidates_cte().strip()},
+an2 AS (SELECT * FROM an WHERE drop_from_nm = 0),
+rp AS (
+  SELECT c.cos_dist,
+         a1.record_id AS record_id_1, a2.record_id AS record_id_2,
+         a1.first_name AS fn1, a2.first_name AS fn2,
+         a1.last_name AS ln1, a2.last_name AS ln2,
+         a1.dob AS dob1, a2.dob AS dob2,
+         a1.age AS age1, a2.age AS age2,
+         a1.gender AS g1, a2.gender AS g2,
+         a1.uid AS uid_1, a2.uid AS uid_2
+  FROM cand_final c
+  JOIN an2 a1 ON a1.nn_string = c.nn_string_1
+  JOIN an2 a2 ON a2.nn_string = c.nn_string_2
+  WHERE c.nn_string_1 <> c.nn_string_2 OR a1.record_id < a2.record_id
+)
+SELECT record_id_1 || '__' || record_id_2 AS dr_id,
+  CASE WHEN fn1='' OR fn2='' THEN 1.0 ELSE 0.0 END AS var_first_name_missing,
+  CASE WHEN fn1='' OR fn2='' THEN NULL
+       ELSE levenshtein(fn1, fn2)::DOUBLE END AS var_first_name_edit_dist,
+  CASE WHEN fn1='' OR fn2='' THEN NULL
+       ELSE round(1 - jaro_winkler_similarity(fn1, fn2), 6)
+       END AS var_first_name_jw_dist,
+  CASE WHEN ln1='' OR ln2='' THEN 1.0 ELSE 0.0 END AS var_last_name_missing,
+  CASE WHEN ln1='' OR ln2='' THEN NULL
+       ELSE levenshtein(ln1, ln2)::DOUBLE END AS var_last_name_edit_dist,
+  CASE WHEN ln1='' OR ln2='' THEN NULL
+       ELSE round(1 - jaro_winkler_similarity(ln1, ln2), 6)
+       END AS var_last_name_jw_dist,
+  CASE WHEN dob1='' OR dob2='' THEN 1.0 ELSE 0.0 END AS var_dob_missing,
+  CASE WHEN dob1='' OR dob2='' THEN NULL
+       ELSE levenshtein(dob1, dob2)::DOUBLE END AS var_dob_edit_dist,
+  CASE WHEN dob1='' OR dob2='' THEN NULL
+       ELSE abs(date_diff('day', dob2::DATE, dob1::DATE))::DOUBLE
+       END AS var_dob_day_diff,
+  CASE WHEN age1='' OR age2='' THEN 1.0 ELSE 0.0 END AS var_age_missing,
+  CASE WHEN age1='' OR age2='' THEN NULL
+       ELSE abs(age1::DOUBLE - age2::DOUBLE) END AS var_age_num_diff,
+  CASE WHEN g1='' OR g2='' THEN 1.0 ELSE 0.0 END AS var_gender_missing,
+  CASE WHEN g1='' OR g2='' THEN NULL
+       ELSE (g1 = g2)::INT::DOUBLE END AS var_gender_exact_match,
+  CASE WHEN uid_1='' OR uid_2='' THEN ''
+       WHEN uid_1 = uid_2 THEN '1'
+       WHEN levenshtein(uid_1, uid_2) <= 1 THEN ''
+       ELSE '0' END AS label
+FROM rp
+"""
+
+
+def er_cc_mustlinks() -> str:
+    """Connected components over the must-link graph: recursive
+    min-label propagation (transitive closure of "reachable from a
+    smaller id") — an independent formulation of the same semantics as
+    the large-star/small-star Spark implementation."""
+    return f"""
+WITH RECURSIVE person AS ({PERSON}),
+{AN.strip()},
+{ML.strip()},
+edges AS (
+  SELECT record_id_1 AS src, record_id_2 AS dst FROM ml
+  UNION
+  SELECT record_id_2, record_id_1 FROM ml
+),
+nodes AS (SELECT DISTINCT record_id FROM an WHERE drop_from_nm = 0),
+reach(node, lbl) AS (
+  SELECT record_id, record_id FROM nodes
+  UNION
+  SELECT e.dst, r.lbl
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.lbl < e.dst
+)
+SELECT node AS record_id, min(lbl) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings oracles
+# ---------------------------------------------------------------------------
+
+def doc_dedup_exact() -> str:
+    return """
+WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)
+SELECT h.doc_id, g.canonical_id, g.group_size
+FROM h JOIN (
+  SELECT hh, min(doc_id) AS canonical_id, count(*) AS group_size
+  FROM h GROUP BY hh
+) g ON g.hh = h.hh
+"""
+
+
+DOC_SHINGLES = """
+words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+shing AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        for i in range(1, len(ws) - 1)]) AS sh
+  FROM words WHERE len(ws) >= 3
+)
+"""
+
+
+def doc_minhash_lsh(threshold: float = 0.7) -> str:
+    """Oracle = exact brute-force Jaccard ≥ t over word-3-shingle sets.
+    The Spark side (LSH candidates + exact verify) must equal this when
+    LSH recall is 1.0 at these parameters — which rows_per_band=1
+    guarantees for any pair sharing ≥1 of 16 minhashes (P(miss) ≤
+    (1-t)^16 ≈ 4e-9 at t=0.7)."""
+    return f"""
+WITH {DOC_SHINGLES.strip()}
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+             6) AS jaccard
+FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      >= {threshold}
+"""
+
+
+def doc_ngram_jaccard(threshold: float = 0.5) -> str:
+    return f"""
+WITH {DOC_SHINGLES.strip()}
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+             6) AS jaccard
+FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) > 0
+  AND len(list_intersect(a.sh, b.sh))::DOUBLE
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      >= {threshold}
+"""
+
+
+def doc_simhash_pairs(bits: int = 32, max_hamming: int = 3) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits))
+    fp_expr = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {2 ** i}::BIGINT ELSE 0 END"
+        for i in range(bits))
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+             string_split_regex(lower(trim(text)), '\\s+'))) AS w
+  FROM documents
+),
+wh AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
+  FROM words
+),
+v AS (
+  SELECT doc_id,
+         {votes}
+  FROM wh GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, {fp_expr} AS fp FROM v
+)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       bit_count(xor(a.fp, b.fp)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
+def doc_profile() -> str:
+    from namematch_spark.operators.textstats import LANG_PROFILES
+    ratios = {}
+    for lang, words in LANG_PROFILES.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        ratios[lang] = (
+            f"round(len(list_filter(ws, w -> w IN ({inlist})))::DOUBLE"
+            f" / greatest(len(ws), 1), 6)")
+    lang_case = "CASE"
+    # argmax with profile-order tiebreak (strictly-greater chain,
+    # mirroring textstats.lang_id)
+    langs = list(LANG_PROFILES)
+    conds = []
+    for i, lang in enumerate(langs):
+        gt = " AND ".join(
+            f"r_{lang} > r_{other}" for other in langs[:i])
+        ge = " AND ".join(
+            f"r_{lang} >= r_{other}" for other in langs[i + 1:])
+        cond = " AND ".join(x for x in [gt, ge, f"r_{lang} > 0"] if x)
+        conds.append(f" WHEN {cond} THEN '{lang}'")
+    lang_case += "".join(conds) + " ELSE 'und' END"
+    ratio_cols = ",\n         ".join(
+        f"{expr} AS r_{lang}" for lang, expr in ratios.items())
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS ws,
+         length(text) AS nc
+  FROM documents
+),
+r AS (
+  SELECT doc_id, text, ws, nc,
+         {ratio_cols}
+  FROM base
+),
+prof AS (
+  SELECT doc_id,
+         {lang_case} AS pred_lang,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len(ws) END AS n_tokens,
+         len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_subwords,
+         round(
+           (CASE WHEN nc BETWEEN 50 AND 50000 THEN 0.25 ELSE 0 END)
+         + (CASE WHEN (nc - len(ws) + 1)::DOUBLE / greatest(len(ws),1)
+                 BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
+         + (CASE WHEN r_en >= 0.01 THEN 0.25 ELSE 0 END)
+         + (CASE WHEN (nc - length(regexp_replace(text,
+                  '[^\\w\\s]', '', 'g')))::DOUBLE / greatest(nc,1)
+                 <= 0.2 THEN 0.25 ELSE 0 END), 2) AS quality
+  FROM r
+)
+SELECT p.doc_id, p.pred_lang, p.n_tokens, p.n_subwords, p.quality,
+       f.fingerprint
+FROM prof p JOIN (
+  SELECT doc_id,
+         min(('0x' || substring(md5(g), 1, 15))::BIGINT % {P})
+            AS fingerprint
+  FROM (
+    SELECT doc_id, substr(t, i, 8) AS g
+    FROM (SELECT doc_id, lower(trim(text)) AS t,
+                 unnest(generate_series(1,
+                     greatest(length(lower(trim(text))) - 7, 1))) AS i
+          FROM documents)
+  ) GROUP BY doc_id
+) f ON f.doc_id = p.doc_id
+"""
+
+
+def emb_knn(k: int = 5) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]))), 6) AS sim
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def emb_near_dup(threshold: float = 0.35) -> str:
+    return f"""
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       round(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                  a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]))), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                               a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[])))
+      >= {threshold}
+"""
+
+
+def mm_features() -> str:
+    return """
+SELECT doc_id::VARCHAR AS media_id,
+       'image/fake' AS mime,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha256,
+       true AS decode_ok
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational demos over TPC-H tables
+# ---------------------------------------------------------------------------
+
+def agg_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def win_top_orders() -> str:
+    return """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def join_nation_revenue() -> str:
+    return """
+SELECT n.n_name AS nation,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+def events_hourly() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
