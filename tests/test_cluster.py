@@ -1,0 +1,96 @@
+"""Clustering semantics: connected-components fixture (reference
+``tests/unit/test_cluster.py:8-33``), constraint behavior of the greedy
+replay (uid conflicts block merges; leven_thresh tolerates near uids)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from namematch_spark.operators.cluster import (connected_components,
+                                               constrained_clusters)
+
+EDGE_SCHEMA = "record_id_1 string, record_id_2 string"
+
+
+def test_cc_fixture(spark):
+    # A-B, A-C, D-E; F isolated  -> 3 clusters + singleton
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("D", "E")], EDGE_SCHEMA)
+    nodes = spark.createDataFrame(
+        [(x,) for x in "ABCDEF"], "record_id string")
+    res = {r["record_id"]: r["cluster_id"]
+           for r in connected_components(edges, nodes).collect()}
+    assert res == {"A": "A", "B": "A", "C": "A",
+                   "D": "D", "E": "D", "F": "F"}
+
+
+def _an(spark, rows):
+    return spark.createDataFrame(
+        rows, "record_id string, uid string, drop_from_nm int")
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, ("dr_id string, record_id_1 string, record_id_2 string, "
+               "uid_1 string, uid_2 string, gt int, phat double"))
+
+
+def _ml_empty(spark):
+    return spark.createDataFrame([], EDGE_SCHEMA)
+
+
+def test_uid_conflict_blocks_merge(spark):
+    # A(uid=1) - B(uid="") - C(uid=2): transitively connected, but a
+    # cluster {A,B,C} would carry two distinct uids -> greedy replay
+    # must split it; B joins whichever side ranks first by phat.
+    an = _an(spark, [("A", "1", 0), ("B", "", 0), ("C", "2", 0)])
+    edges = _edges(spark, [
+        ("A__B", "A", "B", "1", "", 0, 0.95),
+        ("B__C", "B", "C", "", "2", 0, 0.90)])
+    res = {r["record_id"]: r["cluster_id"]
+           for r in constrained_clusters(
+               edges, _ml_empty(spark), an).collect()}
+    assert res["A"] == res["B"]          # higher phat merges first
+    assert res["C"] != res["A"]          # blocked by uid conflict
+
+
+def test_uid_conflict_tolerated_with_leven_thresh(spark):
+    an = _an(spark, [("A", "100", 0), ("B", "101", 0)])
+    edges = _edges(spark, [("A__B", "A", "B", "100", "101", 0, 0.99)])
+    strict = {r["record_id"]: r["cluster_id"]
+              for r in constrained_clusters(
+                  edges, _ml_empty(spark), an,
+                  leven_thresh=None).collect()}
+    assert strict["A"] != strict["B"]
+    tol = {r["record_id"]: r["cluster_id"]
+           for r in constrained_clusters(
+               edges, _ml_empty(spark), an, leven_thresh=1).collect()}
+    assert tol["A"] == tol["B"]
+
+
+def test_user_constraint_hook(spark):
+    # user is_valid_cluster can veto any merge
+    an = _an(spark, [("A", "1", 0), ("B", "1", 0)])
+    edges = _edges(spark, [("A__B", "A", "B", "1", "1", 1, 1.0)])
+    res = {r["record_id"]: r["cluster_id"]
+           for r in constrained_clusters(
+               edges, _ml_empty(spark), an,
+               is_valid_cluster=lambda uids: False).collect()}
+    # constraint fires only in the replay path (dirty components);
+    # a single-uid component is clean, so A-B merge stands
+    assert res["A"] == res["B"]
+
+    an2 = _an(spark, [("A", "1", 0), ("B", "2", 0)])
+    edges2 = _edges(spark, [("A__B", "A", "B", "1", "2", 0, 1.0)])
+    res2 = {r["record_id"]: r["cluster_id"]
+            for r in constrained_clusters(
+                edges2, _ml_empty(spark), an2, leven_thresh=1,
+                is_valid_cluster=lambda uids: False).collect()}
+    assert res2["A"] != res2["B"]        # vetoed in replay
+
+
+def test_min_id_convention(spark):
+    edges = spark.createDataFrame([("Z", "M"), ("M", "B")], EDGE_SCHEMA)
+    res = {r["record_id"]: r["cluster_id"]
+           for r in connected_components(edges).collect()}
+    assert set(res.values()) == {"B"}

@@ -1,0 +1,61 @@
+"""Label truth table (reference
+``tests/unit/test_comparison_functions.py:151-170``) and pairwise
+feature invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from namematch_spark.operators.pairs import label_expr
+
+# the reference's ids.csv truth table: six uid pairs
+UID_PAIRS = [("1", "1"),   # match            -> '1'
+             ("1", ""),    # one missing      -> ''
+             ("12", "21"), # mismatch (ed 2)  -> '0'
+             ("12", "13"), # near (ed 1)      -> '0' / '' with thresh
+             ("5", "500"), # mismatch (ed 2)  -> '0'
+             ("7", "8")]   # near (ed 1)      -> '0' / '' with thresh
+
+
+def _labels(spark, leven_thresh):
+    df = spark.createDataFrame(UID_PAIRS, "uid_1 string, uid_2 string")
+    return [r["label"] for r in
+            df.withColumn("label", label_expr(leven_thresh))
+            .collect()]
+
+
+def test_labels_no_thresh(spark):
+    assert _labels(spark, None) == ["1", "", "0", "0", "0", "0"]
+
+
+def test_labels_with_thresh(spark):
+    assert _labels(spark, 1) == ["1", "", "0", "", "0", ""]
+
+
+def test_feature_invariants(spark, all_names):
+    from namematch_spark.operators import blocking as B
+    from namematch_spark.operators.pairs import (expand_to_record_pairs,
+                                                 pair_features)
+    cand = B.candidate_nn_pairs(all_names)
+    dr = pair_features(expand_to_record_pairs(cand, all_names),
+                       leven_thresh=1).cache()
+    agg = dr.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("var_first_name_jw_dist") < 0).cast("int")).alias("neg"),
+        F.sum((F.col("var_first_name_jw_dist") > 1).cast("int")).alias("gt1"),
+        F.sum(((F.col("var_first_name_missing") == 1.0)
+               & F.col("var_first_name_edit_dist").isNotNull())
+              .cast("int")).alias("missing_but_valued"),
+        F.sum((F.col("var_dob_day_diff") < 0).cast("int")).alias("negday"),
+        F.sum((~F.col("label").isin("1", "0", "")).cast("int")).alias("badlab"),
+    ).collect()[0]
+    assert agg["n"] > 0
+    assert agg["neg"] == 0 and agg["gt1"] == 0
+    assert agg["missing_but_valued"] == 0
+    assert agg["negday"] == 0
+    assert agg["badlab"] == 0
+    # identical names must have zero distances and exact matches
+    same = dr.filter(F.col("var_first_name_exact_match") == 1.0)
+    bad = same.filter((F.col("var_first_name_edit_dist") != 0.0)
+                      | (F.col("var_first_name_jw_dist") != 0.0)).count()
+    assert bad == 0

@@ -1,0 +1,92 @@
+"""Web-pages graft: byte-identical extraction invariant, page→record
+round-trip, streaming ingest."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_extraction_byte_identity(spark):
+    """BASELINE.json input_hint: extracted text must be byte-identical
+    per url between the Spark UDF path and the reference extractor."""
+    from namematch_spark.sources.webpages import (extract_text_py,
+                                                  extract_text_udf,
+                                                  synth_web_pages)
+    pages = synth_web_pages(spark, SF_SMALL).cache()
+    via_udf = extract_text_udf(pages.select("url", "html"))
+    rows = via_udf.select("url", "html", "extracted_text").collect()
+    assert len(rows) == 1500
+    for r in rows[:200]:
+        assert r["extracted_text"] == extract_text_py(bytes(r["html"]))
+    # and the synthesized `text` column obeys the same invariant
+    mismatch = (
+        extract_text_udf(pages.select("url", "html", "text"))
+        .filter(F.col("text") != F.col("extracted_text")).count())
+    assert mismatch == 0
+
+
+def test_pages_roundtrip_to_records(spark):
+    from namematch_spark.sources.records import person_records
+    from namematch_spark.sources.webpages import (pages_to_records,
+                                                  synth_web_pages)
+    pages = synth_web_pages(spark, SF_SMALL)
+    recs = pages_to_records(pages).orderBy("record_id")
+    orig = person_records(spark, SF_SMALL).orderBy("record_id")
+    a = [tuple(r) for r in recs.select(
+        "record_id", "first_name", "last_name", "dob", "gender",
+        "age", "uid").collect()]
+    b = [tuple(r) for r in orig.select(
+        "record_id", "first_name", "last_name", "dob", "gender",
+        "age", "uid").collect()]
+    assert a == b
+
+
+def test_pipeline_over_web_pages(spark):
+    """The graft end-to-end: web pages -> extraction -> records ->
+    linkage; F1 gate holds on the page-derived input."""
+    from namematch_spark.pipeline import run_pipeline
+    from namematch_spark.sources.webpages import (pages_to_records,
+                                                  synth_web_pages)
+    recs = pages_to_records(synth_web_pages(spark, SF_SMALL))
+    res = run_pipeline(recs)
+    assert res.metrics["pairwise"]["f1"] >= 0.99
+
+
+def test_streaming_preprocess(spark, tmp_path):
+    """The preprocess transform runs unchanged in streaming mode."""
+    from namematch_spark.sources.records import person_records
+    from namematch_spark.streaming.ingest import stream_preprocess
+
+    src = str(tmp_path / "in")
+    person_records(spark, SF_SMALL).limit(200).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_preprocess(stream)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("an_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) n, max(blockstring) mb "
+                    "FROM an_stream").collect()[0]
+    assert got["n"] == 200 and "::" in got["mb"]
+
+
+def test_streaming_arrival_stats(spark, tmp_path):
+    from namematch_spark.sources.webpages import synth_web_pages
+    from namematch_spark.streaming.ingest import arrival_stats
+
+    src = str(tmp_path / "pages")
+    synth_web_pages(spark, SF_SMALL).limit(100) \
+        .select("url", "warc_ts", "text", "lang").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = arrival_stats(stream)
+    q = (agg.writeStream.format("memory").queryName("arr")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # availableNow + append emits only closed windows; the data is a
+    # single timestamp so assert the query ran and the schema is right
+    cols = spark.sql("SELECT * FROM arr").columns
+    assert cols == ["window_start", "lang", "n_pages", "total_chars"]
