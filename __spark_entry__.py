@@ -23,7 +23,7 @@ from namematch_spark.operators.model import potential_links, score_pairs
 from namematch_spark.operators.multimodal import (docs_as_media,
                                                   extract_media_features)
 from namematch_spark.operators.mustlinks import must_links
-from namematch_spark.operators.pairs import (expand_to_record_pairs,
+from namematch_spark.operators.pairs import (expand_bs_to_record_pairs,
                                              pair_features)
 from namematch_spark.operators.preprocess import preprocess
 from namematch_spark.operators.textstats import text_profile
@@ -106,10 +106,16 @@ FEATURE_ORACLE_COLS = [
 ]
 
 
+def q_er_candidates_bs(spark, sf):
+    return B.candidate_blockstring_pairs(_an(spark, sf)).select(
+        "blockstring_1", "blockstring_2",
+        F.round("cos_dist", 6).alias("cos_dist"))
+
+
 def q_er_pair_features(spark, sf):
     an = _an(spark, sf)
-    dr = pair_features(expand_to_record_pairs(
-        B.candidate_nn_pairs(an), an), leven_thresh=1)
+    dr = pair_features(expand_bs_to_record_pairs(
+        B.candidate_blockstring_pairs(an), an), leven_thresh=1)
     return dr.select(
         *[F.round(c, 6).alias(c)
           if c.startswith("var_") and c.endswith("jw_dist")
@@ -127,8 +133,8 @@ def q_er_potential_links(spark, sf):
     # RF-dependent: rows-only check (non-SQL-expressible)
     from namematch_spark.operators.model import train_match_model
     an = _an(spark, sf)
-    dr = pair_features(expand_to_record_pairs(
-        B.candidate_nn_pairs(an), an), leven_thresh=1).cache()
+    dr = pair_features(expand_bs_to_record_pairs(
+        B.candidate_blockstring_pairs(an), an), leven_thresh=1).cache()
     mm = train_match_model(dr)
     return potential_links(score_pairs(mm.model, dr), mm.threshold).select(
         "dr_id", "record_id_1", "record_id_2", "phat", "gt")
@@ -255,6 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_det_candidates": q_er_det_candidates,
         "er_lsh_candidates": q_er_lsh_candidates,
         "er_candidates": q_er_candidates,
+        "er_candidates_bs": q_er_candidates_bs,
         "er_pair_features": q_er_pair_features,
         "er_cc_mustlinks": q_er_cc_mustlinks,
         "er_potential_links": q_er_potential_links,
@@ -285,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "er_det_candidates": oracles.er_det_candidates(),
         "er_lsh_candidates": oracles.er_lsh_candidates(),
         "er_candidates": oracles.er_candidates(),
+        "er_candidates_bs": oracles.er_candidates_bs(),
         "er_pair_features": oracles.er_pair_features(),
         "er_cc_mustlinks": oracles.er_cc_mustlinks(),
         # er_potential_links / er_clusters: RF-dependent → rows-only

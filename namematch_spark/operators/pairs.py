@@ -29,6 +29,45 @@ from pyspark.sql.functions import pandas_udf
 from namematch_spark.functions.strings import jw_dist_series, nysiis_eq_series
 
 
+def expand_bs_to_record_pairs(cand_bs: DataFrame, all_names: DataFrame
+                              ) -> DataFrame:
+    """J6 + J7 at the reference's granularity: *blockstring* pairs ×
+    records → side-by-side record pairs (``generate_data_rows.py:
+    363-401``).  The blockstring key is ``nn_string::dob`` as built by
+    :func:`blocking.candidate_blockstring_pairs`.
+
+    Records-per-blockstring is near 1 in realistic data (name+dob is
+    almost a person key), so this expansion is ~linear — the quadratic
+    name-level blowup never materializes.
+    """
+    attrs = ["record_id", "first_name", "last_name", "dob", "gender",
+             "age", "uid"]
+    an = (
+        all_names
+        .filter(F.col("drop_from_nm") == 0)
+        .withColumn("__bs", F.concat(
+            F.concat_ws(" ", "first_name", "last_name"),
+            F.lit("::"), F.col("dob")))
+        .select("__bs", *attrs)
+    )
+    side1 = an.select(
+        F.col("__bs").alias("blockstring_1"),
+        *[F.col(a).alias(f"{a}_1") for a in attrs])
+    side2 = an.select(
+        F.col("__bs").alias("blockstring_2"),
+        *[F.col(a).alias(f"{a}_2") for a in attrs])
+    pairs = (
+        cand_bs
+        .join(side1, "blockstring_1")
+        .join(side2, "blockstring_2")
+        .filter(
+            (F.col("blockstring_1") != F.col("blockstring_2"))
+            | (F.col("record_id_1") < F.col("record_id_2")))
+    )
+    return pairs.withColumn(
+        "dr_id", F.concat_ws("__", "record_id_1", "record_id_2"))
+
+
 def expand_to_record_pairs(cand_nn: DataFrame, all_names: DataFrame
                            ) -> DataFrame:
     """J6 + J7 — name pairs × records → side-by-side record pairs.

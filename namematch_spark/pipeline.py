@@ -26,7 +26,7 @@ from namematch_spark.operators.model import (MatchModel, pairwise_eval,
                                              potential_links, score_pairs,
                                              train_match_model)
 from namematch_spark.operators.mustlinks import must_links
-from namematch_spark.operators.pairs import (expand_to_record_pairs,
+from namematch_spark.operators.pairs import (expand_bs_to_record_pairs,
                                              pair_features)
 from namematch_spark.operators.preprocess import preprocess
 
@@ -34,10 +34,9 @@ from namematch_spark.operators.preprocess import preprocess
 @dataclass
 class PipelineConfig:
     leven_thresh: int | None = 1
-    cos_bar: float = 0.4
-    det_cos_bar: float = 0.55
+    bars: dict | None = None       # blocking bars (blocking.DEFAULT_BARS)
     num_hashes: int = 24
-    rows_per_band: int = 2
+    rows_per_band: int = 4
     num_trees: int = 100
     is_valid_cluster: Callable[[set[str]], bool] | None = None
     checkpoint_dir: str | None = None
@@ -80,11 +79,12 @@ def run_pipeline(records: DataFrame,
 
     an = stage("all_names", lambda: preprocess(records))
     ml = stage("must_links", lambda: must_links(an))
-    cand = stage("candidates", lambda: B.candidate_nn_pairs(
-        an, cos_bar=cfg.cos_bar, det_cos_bar=cfg.det_cos_bar,
-        num_hashes=cfg.num_hashes, rows_per_band=cfg.rows_per_band))
+    cand = stage("candidates", lambda: B.candidate_blockstring_pairs(
+        an, bars=cfg.bars, num_hashes=cfg.num_hashes,
+        rows_per_band=cfg.rows_per_band))
     dr = stage("data_rows", lambda: pair_features(
-        expand_to_record_pairs(cand, an), leven_thresh=cfg.leven_thresh))
+        expand_bs_to_record_pairs(cand, an),
+        leven_thresh=cfg.leven_thresh))
 
     model = train_match_model(dr, num_trees=cfg.num_trees)
 

@@ -106,7 +106,7 @@ det_pairs AS (
 """
 
 
-def lsh_pairs_cte(num_hashes: int = 24, rows_per_band: int = 2) -> str:
+def lsh_pairs_cte(num_hashes: int = 24, rows_per_band: int = 4) -> str:
     """Name-shingle minhash LSH candidate pairs, mirroring
     ``blocking.lsh_candidates`` exactly (band key = '_'-joined minhash
     values of the band, same as Spark's concat_ws over the slice)."""
@@ -246,6 +246,72 @@ cand_final AS (
 """
 
 
+def bs_candidates_cte(num_hashes: int = 24) -> str:
+    """Blockstring-level blocking output with the reference's F15 bars
+    (``block.py:969-981``), mirroring
+    ``blocking.candidate_blockstring_pairs`` (default DEFAULT_BARS)."""
+    return f"""
+{AN.strip()},
+{NN.strip()},
+{PEN.strip()},
+{DETKEY.strip()},
+{DET_PAIRS.strip()},
+{lsh_pairs_cte(num_hashes).strip()},
+cand AS (
+  SELECT nn_string_1, nn_string_2, max(det_block) AS det_block
+  FROM (
+    SELECT nn_string_1, nn_string_2, 0 AS det_block FROM lsh_pairs
+    UNION ALL
+    SELECT nn_string_1, nn_string_2, 1 AS det_block FROM det_pairs
+  ) GROUP BY nn_string_1, nn_string_2
+),
+{VEC.strip()},
+{COS.strip()},
+named AS (
+  SELECT c.nn_string_1, c.nn_string_2, c.det_block, c.cos_dist,
+         coalesce(pen.commonness_penalty, 0) AS penalty
+  FROM cosd c
+  LEFT JOIN pen
+    ON pen.last_name = CASE WHEN instr(c.nn_string_1, ' ') > 0
+         THEN regexp_extract(c.nn_string_1, '([^ ]+)$', 1)
+         ELSE c.nn_string_1 END
+  WHERE c.cos_dist - coalesce(pen.commonness_penalty, 0) <= 0.55
+),
+bst AS (
+  SELECT nn_string, dob, count(*) AS n_rec,
+         nn_string || '::' || dob AS blockstring
+  FROM an WHERE drop_from_nm = 0
+  GROUP BY nn_string, dob
+),
+near_bs AS (
+  SELECT b1.blockstring AS blockstring_1,
+         b2.blockstring AS blockstring_2, n.cos_dist
+  FROM named n
+  JOIN bst b1 ON b1.nn_string = n.nn_string_1
+  JOIN bst b2 ON b2.nn_string = n.nn_string_2
+  WHERE (n.cos_dist - n.penalty <= 0.26)
+     OR (n.cos_dist - n.penalty <= 0.30
+         AND b1.dob <> '' AND b2.dob <> ''
+         AND levenshtein(b1.dob, b2.dob) <= 1)
+     OR (n.cos_dist - n.penalty <= 0.40
+         AND (b1.dob = '' OR b2.dob = ''))
+     OR (n.det_block = 1 AND n.cos_dist - n.penalty <= 0.55
+         AND ((b1.dob <> '' AND b2.dob <> ''
+               AND levenshtein(b1.dob, b2.dob) <= 1)
+              OR b1.dob = '' OR b2.dob = ''))
+),
+cand_bs AS (
+  SELECT b1.blockstring AS blockstring_1,
+         b2.blockstring AS blockstring_2, 0.0 AS cos_dist
+  FROM bst b1 JOIN bst b2 ON b1.nn_string = b2.nn_string
+  WHERE b1.blockstring < b2.blockstring
+     OR (b1.blockstring = b2.blockstring AND b1.n_rec > 1)
+  UNION ALL
+  SELECT * FROM near_bs
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # public oracle texts (ER)
 # ---------------------------------------------------------------------------
@@ -298,7 +364,7 @@ SELECT nn_string_1, nn_string_2 FROM det_pairs
 """
 
 
-def er_lsh_candidates(num_hashes: int = 24, rows_per_band: int = 2) -> str:
+def er_lsh_candidates(num_hashes: int = 24, rows_per_band: int = 4) -> str:
     return f"""
 WITH person AS ({PERSON}),
 {AN.strip()},
@@ -316,14 +382,23 @@ SELECT nn_string_1, nn_string_2, cos_dist FROM cand_final
 """
 
 
-def er_pair_features() -> str:
-    """Record-pair expansion + the cross-engine-checkable feature subset
-    (everything except soundex/nysiis, which have no DuckDB equivalent —
-    those are covered by pytest goldens instead)."""
+def er_candidates_bs() -> str:
     return f"""
 WITH person AS ({PERSON}),
-{candidates_cte().strip()},
-an2 AS (SELECT * FROM an WHERE drop_from_nm = 0),
+{bs_candidates_cte().strip()}
+SELECT blockstring_1, blockstring_2, cos_dist FROM cand_bs
+"""
+
+
+def er_pair_features() -> str:
+    """Record-pair expansion (blockstring level) + the cross-engine-
+    checkable feature subset (everything except soundex/nysiis, which
+    have no DuckDB equivalent — those are covered by pytest goldens)."""
+    return f"""
+WITH person AS ({PERSON}),
+{bs_candidates_cte().strip()},
+an2 AS (SELECT *, nn_string || '::' || dob AS bs
+        FROM an WHERE drop_from_nm = 0),
 rp AS (
   SELECT c.cos_dist,
          a1.record_id AS record_id_1, a2.record_id AS record_id_2,
@@ -333,10 +408,11 @@ rp AS (
          a1.age AS age1, a2.age AS age2,
          a1.gender AS g1, a2.gender AS g2,
          a1.uid AS uid_1, a2.uid AS uid_2
-  FROM cand_final c
-  JOIN an2 a1 ON a1.nn_string = c.nn_string_1
-  JOIN an2 a2 ON a2.nn_string = c.nn_string_2
-  WHERE c.nn_string_1 <> c.nn_string_2 OR a1.record_id < a2.record_id
+  FROM cand_bs c
+  JOIN an2 a1 ON a1.bs = c.blockstring_1
+  JOIN an2 a2 ON a2.bs = c.blockstring_2
+  WHERE c.blockstring_1 <> c.blockstring_2
+     OR a1.record_id < a2.record_id
 )
 SELECT record_id_1 || '__' || record_id_2 AS dr_id,
   CASE WHEN fn1='' OR fn2='' THEN 1.0 ELSE 0.0 END AS var_first_name_missing,

@@ -38,6 +38,19 @@ _LAST = ["SMITH", "JOHNSON", "WILLIAMS", "BROWN", "JONES", "GARCIA",
          "JACKSON", "MARTIN", "LEE", "PEREZ", "THOMPSON"]
 _HYPH = ["NGUYEN", "KIM", "PATEL", "SINGH", "CHEN", "ALI", "KHAN"]
 
+# syllable pools for diverse (non-hot) surnames; coprime moduli 29/31
+# make (fn, ln) unique per entity below custkey ~17k while shared
+# syllables keep realistic cross-name similarity for the LSH path
+_SYL_A = ["KAR", "VOL", "BER", "NOR", "TAL", "MOR", "LIN", "HAR", "WEN",
+          "FOR", "GAL", "PER", "SOL", "VAN", "KEL", "DOR", "MAL", "RUN",
+          "SEL", "TOR", "BAL", "MIR", "NAK", "LOM", "RAV", "DUN", "HOL",
+          "FEN", "GRE"]
+_SYL_B = ["SEN", "TON", "SON", "DALE", "FORD", "WELL", "WOOD", "STONE",
+          "BROOK", "FIELD", "WORTH", "LAND", "MONT", "VALE", "BURN",
+          "SHAW", "COMB", "WICK", "THORP", "BECK", "HURST", "MERE",
+          "DENE", "HOLT", "GATE", "CROFT", "MOOR", "RIDGE", "FELL",
+          "HAM", "COTE"]
+
 
 def _case(expr: str, pool: list[str]) -> str:
     branches = " ".join(
@@ -46,12 +59,21 @@ def _case(expr: str, pool: list[str]) -> str:
 
 
 # Base (unperturbed) per-entity attributes, keyed on o_custkey.
+# Name realism at scale: 10% of entities ("hot", o_custkey % 10 = 0)
+# draw last names from the bare 23-name pool — these are the common-name
+# hot blocks the blocking layer must survive; the other 90% get a
+# deterministic 2-letter suffix (coprime modulus 97) for web-realistic
+# name diversity (19 x 23 x 97 ≈ 42k distinct names).
 _BASE = f"""
 SELECT
   o_orderkey,
   o_custkey,
   {_case(f"o_custkey % {len(_FIRST)}", _FIRST)} AS fn0,
-  {_case(f"o_custkey % {len(_LAST)}", _LAST)} AS ln0,
+  CASE WHEN o_custkey % 10 = 0
+       THEN {_case(f"o_custkey % {len(_LAST)}", _LAST)}
+       ELSE {_case(f"o_custkey % {len(_SYL_A)}", _SYL_A)}
+            || {_case(f"o_custkey % {len(_SYL_B)}", _SYL_B)}
+       END AS ln0,
   {_case(f"o_custkey % {len(_HYPH)}", _HYPH)} AS ln_alt,
   CAST(make_date(1950 + o_custkey % 45,
                  1 + o_custkey % 12,
