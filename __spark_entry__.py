@@ -113,9 +113,10 @@ def q_er_candidates_bs(spark, sf):
 
 
 def q_er_pair_features(spark, sf):
-    an = _an(spark, sf)
-    dr = pair_features(expand_bs_to_record_pairs(
-        B.candidate_blockstring_pairs(an), an), leven_thresh=1)
+    an = _an(spark, sf).cache()
+    rp = expand_bs_to_record_pairs(
+        B.candidate_blockstring_pairs(an), an).cache()
+    dr = pair_features(rp, leven_thresh=1)
     return dr.select(
         *[F.round(c, 6).alias(c)
           if c.startswith("var_") and c.endswith("jw_dist")
@@ -132,9 +133,10 @@ def q_er_cc_mustlinks(spark, sf):
 def q_er_potential_links(spark, sf):
     # RF-dependent: rows-only check (non-SQL-expressible)
     from namematch_spark.operators.model import train_match_model
-    an = _an(spark, sf)
-    dr = pair_features(expand_bs_to_record_pairs(
-        B.candidate_blockstring_pairs(an), an), leven_thresh=1).cache()
+    an = _an(spark, sf).cache()
+    rp = expand_bs_to_record_pairs(
+        B.candidate_blockstring_pairs(an), an).cache()
+    dr = pair_features(rp, leven_thresh=1).cache()
     mm = train_match_model(dr)
     return potential_links(score_pairs(mm.model, dr), mm.threshold).select(
         "dr_id", "record_id_1", "record_id_2", "phat", "gt")

@@ -1,0 +1,214 @@
+"""Benchmark harness.
+
+Runs the headline jobs at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32)
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Scaling protocol (BASELINE.md): the blocking+scoring throughput job runs
+at two parallelism levels (N=CPUS/4 and 4N=CPUS cores) on identical
+input; ``scaling_efficiency = (thr_4N / thr_N) / 4`` must be ≥ 0.8.
+Details land in ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LOW_CPUS = max(CPUS // 4, 1)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_spark(cores: int):
+    from namematch_spark.session import get_spark
+    spark = get_spark(app_name=f"nm-bench-{cores}",
+                      master=f"local[{cores}]",
+                      conf={"spark.sql.shuffle.partitions": str(cores * 2),
+                            # identical heap at both levels: scaling must
+                            # measure cores, not memory; 32 threads GC-
+                            # thrash in the 8g default
+                            "spark.driver.memory":
+                            os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                           "32g")})
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def blocking_scoring_job(spark, sf_dir: str) -> tuple[int, float]:
+    """The throughput job: blocking -> record-pair expansion -> full
+    pairwise feature computation.  Returns (n_candidate_pairs, seconds).
+    """
+    from namematch_spark.operators import blocking as B
+    from namematch_spark.operators.pairs import (expand_bs_to_record_pairs,
+                                                 pair_features)
+    from namematch_spark.operators.preprocess import preprocess
+    from namematch_spark.sources.records import person_records
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    # stage materialization mirrors the pipeline's checkpointing: the
+    # feature plan consumes record_pairs three times (base + two
+    # distinct-string-pair metric dims), so the expansion is cached
+    # spread the single-file input across cores before the heavy chain
+    parts = spark.sparkContext.defaultParallelism * 2
+    an = preprocess(person_records(spark, sf_dir)).repartition(parts).cache()
+    cand = B.candidate_blockstring_pairs(an).cache()
+    rp = expand_bs_to_record_pairs(cand, an).cache()
+    dr = pair_features(rp, leven_thresh=1)
+    # honest materialization: a bare count() lets Catalyst prune every
+    # feature column and eliminate the unique-key joins — aggregate a
+    # hash over ALL columns instead so each feature is computed
+    row = dr.agg(
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64(*dr.columns),
+                     F.lit(1_000_000_007))).alias("h")).collect()[0]
+    n = row["n"]
+    dt = time.time() - t0
+    for d in (an, cand, rp):
+        d.unpersist()
+    return n, dt
+
+
+def scaling_worker(cores: int, outfile: str) -> None:
+    """Run (in a fresh process = fresh JVM) a warmup pass at sf0.001 —
+    JIT + codegen compile are one-time per JVM and a production cluster
+    runs warm — then the timed sf0.1 job."""
+    spark = make_spark(cores)
+    blocking_scoring_job(spark, "/root/testdata/sf0.001")   # warmup
+    n, dt = blocking_scoring_job(spark, SF_DIR)
+    spark.stop()
+    with open(outfile, "w") as f:
+        json.dump({"n": n, "sec": dt}, f)
+
+
+def _run_scaling(cores: int) -> tuple[int, float]:
+    import subprocess
+    import tempfile
+    out = tempfile.mktemp(suffix=".json")
+    subprocess.run([sys.executable, os.path.abspath(__file__),
+                    "--scaling-job", str(cores), out],
+                   check=True, stdout=sys.stderr)
+    with open(out) as f:
+        d = json.load(f)
+    os.unlink(out)
+    return d["n"], d["sec"]
+
+
+def main() -> None:
+    sf_label = SF_DIR.rstrip("/").split("sf")[-1]
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    # ---- scaling: same job, two parallelism levels, fresh JVM each ---
+    log(f"[bench] blocking+scoring at local[{LOW_CPUS}] (fresh JVM, "
+        f"warm) ...")
+    n_low, t_low = _run_scaling(LOW_CPUS)
+    thr_low = n_low / t_low
+    log(f"[bench]   {n_low} pairs in {t_low:.1f}s -> {thr_low:,.0f} pairs/s")
+
+    log(f"[bench] blocking+scoring at local[{CPUS}] (fresh JVM, warm) ...")
+    n_high, t_high = _run_scaling(CPUS)
+    thr_high = n_high / t_high
+    log(f"[bench]   {n_high} pairs in {t_high:.1f}s -> "
+        f"{thr_high:,.0f} pairs/s")
+    spark = make_spark(CPUS)
+    factor = CPUS / LOW_CPUS
+    efficiency = (thr_high / thr_low) / factor
+    queries["blocking_scoring"] = round(t_high, 3)
+    extras["candidate_pairs"] = n_high
+    extras["candidate_pairs_per_sec"] = round(thr_high, 1)
+    extras["scaling"] = {
+        "cores_low": LOW_CPUS, "cores_high": CPUS,
+        "throughput_low": round(thr_low, 1),
+        "throughput_high": round(thr_high, 1),
+        "efficiency": round(efficiency, 3),
+    }
+
+    # ---- headline queries at full parallelism ------------------------
+    import __spark_entry__ as E
+    qs = E.queries()
+    headline = ["er_clusters", "doc_minhash_lsh", "doc_ngram_jaccard",
+                "doc_simhash", "doc_profile", "doc_dedup_exact",
+                "emb_knn", "agg_pricing_summary", "win_top_orders",
+                "join_nation_revenue", "events_hourly"]
+    for name in headline:
+        t0 = time.time()
+        try:
+            n = qs[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            queries[name] = round(dt, 3)
+            log(f"[bench] {name}: {n} rows in {dt:.1f}s")
+        except Exception as ex:  # pragma: no cover
+            queries[name] = -1.0
+            log(f"[bench] {name}: FAILED {str(ex)[:200]}")
+    spark.stop()
+
+    total = round(sum(t for t in queries.values() if t > 0), 3)
+    result = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf_label) if sf_label.replace(".", "").isdigit()
+        else sf_label,
+        **extras,
+    }
+    _write_bench_md(result)
+    print(json.dumps(result))
+
+
+def _write_bench_md(result: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    s = result["scaling"]
+    lines = [
+        "# BENCH — measured results",
+        "",
+        f"sf = {result['sf']}, input = `{SF_DIR}`",
+        "",
+        "## Scaling (north-rule evidence: two parallelism levels, "
+        "identical input)",
+        "",
+        "| cores | throughput (candidate pairs/s) |",
+        "|---|---|",
+        f"| {s['cores_low']} | {s['throughput_low']:,} |",
+        f"| {s['cores_high']} | {s['throughput_high']:,} |",
+        "",
+        f"**Scaling efficiency ({s['cores_low']}→{s['cores_high']} "
+        f"cores): {s['efficiency']:.3f}** (target ≥ 0.8)",
+        "",
+        f"Blocking+scoring job: {result['candidate_pairs']:,} fully-"
+        f"featured candidate record pairs at "
+        f"{result['candidate_pairs_per_sec']:,} pairs/s "
+        f"on local[{s['cores_high']}].",
+        "",
+        "## Headline query wall times (seconds)",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for q, t in result["queries"].items():
+        lines.append(f"| {q} | {t} |")
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--scaling-job":
+        scaling_worker(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()

@@ -212,29 +212,36 @@ def exactmatch_expr(exact_vars: list[str]) -> Column:
     return cond.cast("int")
 
 
-def _py_metrics_dim(record_pairs: DataFrame, v: str) -> DataFrame:
+def _py_metrics_dim(record_pairs: DataFrame,
+                    variables: list[str]) -> DataFrame:
     """Python-metric dimension table: (s1, s2) → (jw_dist, nysiis_eq)
-    over the *distinct* value pairs of variable ``v``.
+    over the *distinct* value pairs of all ``variables``, in ONE pass.
 
     Key-level work dedup (the reference's own blocking optimization,
     ``block.py:565-572``, applied to features): record pairs repeat the
     same name combination massively — at sf0.01, 3.2M record pairs
     collapse to ~50k distinct name pairs, a 60x cut in Python work.
-    The dim table is small → broadcast join back.
+    All variables share one distinct-shuffle + one Arrow UDF pass; the
+    resulting dim is small → broadcast join back per variable.
     """
     pdf = pandas_udf("jw double, ny double")(
         lambda a, b: pd.DataFrame({
             "jw": jw_dist_series(a, b),
             "ny": nysiis_eq_series(a, b)}))
+    pieces = [
+        record_pairs.select(F.col(f"{v}_1").alias("__s1"),
+                            F.col(f"{v}_2").alias("__s2"))
+        for v in variables]
+    allpairs = pieces[0]
+    for p in pieces[1:]:
+        allpairs = allpairs.unionByName(p)
     return (
-        record_pairs
-        .select(F.col(f"{v}_1").alias("__s1"),
-                F.col(f"{v}_2").alias("__s2"))
+        allpairs
         .distinct()
         .withColumn("__m", pdf(F.col("__s1"), F.col("__s2")))
         .select("__s1", "__s2",
-                F.col("__m.jw").alias(f"var_{v}_jw_dist"),
-                F.col("__m.ny").alias(f"var_{v}_nysiis"))
+                F.col("__m.jw").alias("__jw"),
+                F.col("__m.ny").alias("__ny"))
     )
 
 
@@ -261,11 +268,15 @@ def pair_features(record_pairs: DataFrame,
         exactmatch_expr(exact_vars).alias("exactmatch"),
         label_expr(leven_thresh).alias("label"))
 
+    dim = _py_metrics_dim(record_pairs, ["first_name", "last_name"])
     for v in ("first_name", "last_name"):
-        dim = _py_metrics_dim(record_pairs, v)
+        d = dim.select(
+            F.col("__s1"), F.col("__s2"),
+            F.col("__jw").alias(f"var_{v}_jw_dist"),
+            F.col("__ny").alias(f"var_{v}_nysiis"))
         base = base.join(
-            F.broadcast(dim),
-            (F.col(f"{v}_1") == dim.__s1) & (F.col(f"{v}_2") == dim.__s2),
+            F.broadcast(d),
+            (F.col(f"{v}_1") == d.__s1) & (F.col(f"{v}_2") == d.__s2),
             "left").drop("__s1", "__s2")
 
     return (

@@ -82,9 +82,13 @@ def run_pipeline(records: DataFrame,
     cand = stage("candidates", lambda: B.candidate_blockstring_pairs(
         an, bars=cfg.bars, num_hashes=cfg.num_hashes,
         rows_per_band=cfg.rows_per_band))
-    dr = stage("data_rows", lambda: pair_features(
-        expand_bs_to_record_pairs(cand, an),
-        leven_thresh=cfg.leven_thresh))
+    def _data_rows() -> DataFrame:
+        # the feature plan consumes the expansion three times (base +
+        # two metric-dim subqueries) — materialize it once
+        rp = expand_bs_to_record_pairs(cand, an).cache()
+        return pair_features(rp, leven_thresh=cfg.leven_thresh)
+
+    dr = stage("data_rows", _data_rows)
 
     model = train_match_model(dr, num_trees=cfg.num_trees)
 

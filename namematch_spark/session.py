@@ -36,6 +36,9 @@ _ENGINE_CONF: dict[str, str] = {
     # Deterministic timestamp semantics across engines.
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
+    # the console progress bar redraws constantly on long jobs and
+    # pollutes captured output; metrics come from the manifest instead
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
@@ -50,7 +53,12 @@ def get_spark(
     ``local[*]``); on a real cluster it is supplied by ``spark-submit``
     and must NOT be set here.
     """
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     builder = SparkSession.builder.appName(app_name)
+    # multi-executor masters (local-cluster, standalone) spawn separate
+    # python workers that need the package on their path — the same
+    # role spark-submit --py-files plays on a real cluster
+    builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
     if master is None and "SPARK_GRAFT_CPUS" in os.environ:
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
     if master is not None:
