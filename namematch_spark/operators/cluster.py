@@ -54,6 +54,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     """
     spark = edges.sparkSession
     e = _canon_edges(edges).localCheckpoint(eager=True)
+    prev_sig: tuple = (None, None)
 
     for _ in range(max_iter):
         # ---- large-star: connect every neighbor > u to min(N(u) ∪ {u})
@@ -89,15 +90,21 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # converged when every dst's component representative is stable:
-        # edge set forms a star forest (src = min of its component)
-        changed = (
-            new_e.alias("a").join(new_e.alias("b"),
-                                  F.col("a.src") == F.col("b.dst"),
-                                  "left_semi").count())
+        # convergence = the edge set is a fixed point: one cheap
+        # shuffle-free agg over the just-checkpointed partitions (count +
+        # order-independent hash), compared against the previous round —
+        # replaces the earlier self-join probe, which cost two extra
+        # shuffles per round (the CC loop's per-round job count is pure
+        # overhead at any scale; see VERDICT r1 "what's wrong" #7)
+        sig_row = new_e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64("src", "dst"),
+                         F.lit(1_000_000_007))).alias("h")).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
         e = new_e
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
 
     assign = (
         e.select(F.col("dst").alias("record_id"),
@@ -153,17 +160,27 @@ def _greedy_replay_factory(
             return root
 
         for row in pdf.itertuples(index=False):
+            # uid_1/uid_2 are the per-RECORD uids joined from all-names
+            # (the reference looks uids up in the all-names table,
+            # ``cluster.py:485-487`` — never from edge metadata), so
+            # accumulating across rows is safe for any edge source,
+            # including must-link edges.
             for rid, uid in ((row.record_id_1, row.uid_1),
                              (row.record_id_2, row.uid_2)):
-                if rid not in uids:
-                    uids[rid] = {uid} if uid else set()
+                s = uids.setdefault(rid, set())
+                if uid:
+                    s.add(uid)
             r1, r2 = find(row.record_id_1), find(row.record_id_2)
             if r1 == r2:
                 continue
             merged = uids.setdefault(r1, set()) | uids.setdefault(r2, set())
             if not uids_compatible(merged):
                 continue
-            if is_valid_cluster is not None and not is_valid_cluster(merged):
+            # gt edges bypass the *user* constraint (reference
+            # ``cluster.py``: ``edge_is_gt or is_valid_cluster(...)``);
+            # the auto uid check above always applies.
+            if (row.gt != 1 and is_valid_cluster is not None
+                    and not is_valid_cluster(merged)):
                 continue
             lo, hi = (r1, r2) if r1 < r2 else (r2, r1)
             parent[hi] = lo
@@ -189,15 +206,13 @@ def constrained_clusters(potential_edges: DataFrame,
     """
     edges = (
         potential_edges
-        .select("dr_id", "record_id_1", "record_id_2",
-                "uid_1", "uid_2", "gt", "phat")
+        .select("dr_id", "record_id_1", "record_id_2", "gt", "phat")
         .unionByName(
             must_link_edges
             .select(
                 F.concat_ws("__", "record_id_1", "record_id_2")
                 .alias("dr_id"),
                 "record_id_1", "record_id_2",
-                F.lit("").alias("uid_1"), F.lit("").alias("uid_2"),
                 F.lit(1).alias("gt"), F.lit(1.0).alias("phat")))
     )
     comp = connected_components(
@@ -230,9 +245,19 @@ def constrained_clusters(potential_edges: DataFrame,
         F.count("*").alias("__n"))
     oversized = comp_sizes.filter(F.col("__n") > max_component)
 
+    # replay input: per-RECORD uids joined from all-names (reference
+    # ``cluster.py:485-487``) — edge metadata is NOT a reliable uid
+    # source (must-link edges carry none).  Only dirty edges pay the
+    # two joins, and the uid side is the record table projected to two
+    # columns.
+    rec_uid = all_names.select("record_id", "uid")
     dirty_edges = (
         edges_c.join(dirty_comps, "component_id", "left_semi")
         .join(oversized.select("component_id"), "component_id", "left_anti")
+        .join(rec_uid.select(F.col("record_id").alias("record_id_1"),
+                             F.col("uid").alias("uid_1")), "record_id_1")
+        .join(rec_uid.select(F.col("record_id").alias("record_id_2"),
+                             F.col("uid").alias("uid_2")), "record_id_2")
     )
     replay = _greedy_replay_factory(leven_thresh, is_valid_cluster)
     replayed = (

@@ -162,6 +162,57 @@ def categorical_features(v: str) -> list[Column]:
     ]
 
 
+def geography_features(v: str) -> list[Column]:
+    """F10 — euclidean distance over ``"x,y"`` strings
+    (``comparison_functions.py:315-346``)."""
+    c1, c2 = F.col(f"{v}_1"), F.col(f"{v}_2")
+    x1 = F.split_part(c1, F.lit(","), F.lit(1)).try_cast("double")
+    y1 = F.split_part(c1, F.lit(","), F.lit(2)).try_cast("double")
+    x2 = F.split_part(c2, F.lit(","), F.lit(1)).try_cast("double")
+    y2 = F.split_part(c2, F.lit(","), F.lit(2)).try_cast("double")
+    dist = F.sqrt(F.pow(x1 - x2, 2) + F.pow(y1 - y2, 2))
+    return [
+        _missing(c1, c2).alias(f"var_{v}_missing"),
+        _present(c1, c2, dist).alias(f"var_{v}_geog_dist"),
+    ]
+
+
+def features_for_variables(variables: list[tuple[str, str]]
+                           ) -> tuple[list[Column], list[str]]:
+    """Native feature expressions for a (name, compare_type) list —
+    the config-driven dispatch (reference
+    ``generate_data_rows.py:267-287``).  Address expands to two String
+    feature sets + one Categorical over its parsed sub-columns.
+
+    Returns (feature columns, names of String-typed variables — those
+    additionally get the jw/nysiis Python-metric join).
+    """
+    feats: list[Column] = []
+    string_vars: list[str] = []
+    for name, ctype in variables:
+        if ctype in ("String", "LastName"):
+            feats += string_features(name)
+            string_vars.append(name)
+        elif ctype == "Date":
+            feats += date_features(name)
+        elif ctype in ("Numeric", "Number"):
+            feats += numeric_features(name)
+        elif ctype in ("Categorical", "Category"):
+            feats += categorical_features(name)
+        elif ctype == "Geography":
+            feats += geography_features(name)
+        elif ctype == "Address":
+            feats += string_features("address_street_number")
+            feats += string_features("address_street_name")
+            feats += categorical_features("address_street_type")
+            string_vars += ["address_street_number",
+                            "address_street_name"]
+        else:
+            raise ValueError(f"no feature dispatch for compare_type "
+                             f"{ctype!r}")
+    return feats, string_vars
+
+
 def _py_string_features_impl(fn1: pd.Series, fn2: pd.Series,
                              ln1: pd.Series, ln2: pd.Series
                              ) -> pd.DataFrame:
@@ -245,13 +296,42 @@ def _py_metrics_dim(record_pairs: DataFrame,
     )
 
 
+#: The six kept name-probability features
+#: (``generate_data_rows.py:253-259``).
+PCTL_FEATURE_COLS = [
+    "diff_count_pctl_name", "max_count_pctl_name",
+    "diff_count_pctl_fn", "max_count_pctl_fn",
+    "diff_count_pctl_ln", "max_count_pctl_ln",
+]
+
+
 def pair_features(record_pairs: DataFrame,
                   leven_thresh: int | None = 1,
-                  exact_vars: list[str] | None = None) -> DataFrame:
+                  exact_vars: list[str] | None = None,
+                  pctl_dims: dict | None = None,
+                  name_probs: DataFrame | None = None) -> DataFrame:
     """Full feature table over side-by-side record pairs (the
-    "data-rows" table, ``generate_data_rows.py:182-190``)."""
+    "data-rows" table, ``generate_data_rows.py:182-190``).
+
+    Optional name-probability stage (reference order,
+    ``generate_data_rows.py:226-259``): percentile features are looked
+    up on the ORIGINAL names (``pctl_dims`` from
+    :func:`nameprob.percentile_dims`), then the swap repair
+    (``name_probs`` from :func:`nameprob.name_log_probs`) may flip
+    fn/ln before the string features are computed.
+    """
     if exact_vars is None:
         exact_vars = ["first_name", "last_name", "dob"]
+    extra_cols: list[str] = []
+    if pctl_dims is not None:
+        from namematch_spark.operators.nameprob import pctl_pair_features
+        record_pairs = pctl_pair_features(record_pairs, pctl_dims)
+        extra_cols += PCTL_FEATURE_COLS
+    if name_probs is not None:
+        from namematch_spark.operators.nameprob import swap_repair
+        record_pairs = swap_repair(record_pairs, name_probs)
+        extra_cols += ["switched_name"]
+
     feats: list[Column] = []
     for v in ("first_name", "last_name"):
         feats += string_features(v)
@@ -261,7 +341,7 @@ def pair_features(record_pairs: DataFrame,
 
     base = record_pairs.select(
         "dr_id", "record_id_1", "record_id_2", "cos_dist",
-        "uid_1", "uid_2",
+        "uid_1", "uid_2", *extra_cols,
         F.col("first_name_1"), F.col("first_name_2"),
         F.col("last_name_1"), F.col("last_name_2"),
         *feats,
@@ -284,6 +364,93 @@ def pair_features(record_pairs: DataFrame,
         .drop("first_name_1", "first_name_2", "last_name_1", "last_name_2")
         .withColumn("labeled_data", (F.col("label") != "").cast("int"))
     )
+
+
+def expand_bs_pairs_for_schema(cand_bs: DataFrame, all_names: DataFrame,
+                               attrs: list[str],
+                               cos_vars: tuple[str, ...] = ("first_name",
+                                                            "last_name"),
+                               ed_var: str = "dob") -> DataFrame:
+    """Schema-driven J6+J7: like :func:`expand_bs_to_record_pairs` but
+    carrying an arbitrary attribute list (the config's variables).
+    The join key is the *blocking* blockstring (``nn_string::ed``, the
+    key :func:`blocking.candidate_blockstring_pairs` emits)."""
+    an = (
+        all_names
+        .filter(F.col("drop_from_nm") == 0)
+        .withColumn("__bs", F.concat(
+            F.concat_ws(" ", *cos_vars), F.lit("::"), F.col(ed_var)))
+        .select("__bs", "record_id", *attrs)
+    )
+    side1 = an.select(
+        F.col("__bs").alias("blockstring_1"),
+        F.col("record_id").alias("record_id_1"),
+        *[F.col(a).alias(f"{a}_1") for a in attrs])
+    side2 = an.select(
+        F.col("__bs").alias("blockstring_2"),
+        F.col("record_id").alias("record_id_2"),
+        *[F.col(a).alias(f"{a}_2") for a in attrs])
+    pairs = (
+        cand_bs
+        .join(side1, "blockstring_1")
+        .join(side2, "blockstring_2")
+        .filter(
+            (F.col("blockstring_1") != F.col("blockstring_2"))
+            | (F.col("record_id_1") < F.col("record_id_2")))
+    )
+    return pairs.withColumn(
+        "dr_id", F.concat_ws("__", "record_id_1", "record_id_2"))
+
+
+def pair_features_with_schema(record_pairs: DataFrame, schema,
+                              leven_thresh: int | None = 1) -> DataFrame:
+    """Config-driven data-rows table: the feature set is whatever the
+    Schema declares (reference ``generate_data_rows.py:267-287``
+    dispatch), labels come from its UniqueID variable(s)."""
+    variables = [(v.name, v.compare_type)
+                 for v in schema.feature_variables()]
+    feats, string_vars = features_for_variables(variables)
+    uid_vars = schema.uid_vars()
+    keep = ["dr_id", "record_id_1", "record_id_2", "cos_dist"]
+    label_cols = []
+    if uid_vars:
+        uid = uid_vars[0]
+        keep += [F.col(f"{uid}_1").alias("uid_1"),
+                 F.col(f"{uid}_2").alias("uid_2")]
+        label_cols = [label_expr_for(uid, leven_thresh).alias("label")]
+    carried = sorted({f"{v}_{s}" for v in string_vars for s in (1, 2)})
+    base = record_pairs.select(*keep, *carried, *feats, *label_cols)
+
+    dim = _py_metrics_dim(record_pairs, string_vars)
+    for v in string_vars:
+        d = dim.select(
+            F.col("__s1"), F.col("__s2"),
+            F.col("__jw").alias(f"var_{v}_jw_dist"),
+            F.col("__ny").alias(f"var_{v}_nysiis"))
+        base = base.join(
+            F.broadcast(d),
+            (F.col(f"{v}_1") == d.__s1) & (F.col(f"{v}_2") == d.__s2),
+            "left").drop("__s1", "__s2")
+    base = base.drop(*carried)
+    if label_cols:
+        base = base.withColumn("labeled_data",
+                               (F.col("label") != "").cast("int"))
+    return base
+
+
+def label_expr_for(uid_var: str, leven_thresh: int | None = None) -> Column:
+    """F14 for an arbitrary UniqueID variable name."""
+    u1, u2 = F.col(f"{uid_var}_1"), F.col(f"{uid_var}_2")
+    base = (
+        F.when((u1 == "") | (u2 == ""), F.lit(""))
+        .when(u1 == u2, F.lit("1"))
+        .otherwise(F.lit("0"))
+    )
+    if leven_thresh is None:
+        return base
+    return F.when(
+        (base == "0") & (F.levenshtein(u1, u2) <= leven_thresh), F.lit("")
+    ).otherwise(base)
 
 
 FEATURE_COLS = (

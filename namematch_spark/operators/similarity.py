@@ -60,14 +60,25 @@ def brute_force_knn(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
-def _hyperplane_sig(vec: Column, num_planes: int, dim: int) -> Column:
-    """Deterministic random-hyperplane signature: plane p's normal has
-    component j = ((a_p * (j+1) + b_p) mod P) / P - 0.5 (a fixed LCG
-    stream — portable, seedless at runtime)."""
+def hyperplane_components(num_planes: int, dim: int,
+                          seed: int = 777) -> list[list[float]]:
+    """Deterministic hyperplane normals: plane p's component j =
+    ((a_p * (j+1) + b_p) mod P) / P − 0.5, from a fixed LCG stream.
+    Shared by the Spark plan and the DuckDB oracle (single source of
+    truth for the constants)."""
+    return [
+        [((a * (j + 1) + b) % MERSENNE_P) / MERSENNE_P - 0.5
+         for j in range(dim)]
+        for a, b in _lcg_pairs(num_planes, seed=seed)]
+
+
+def _hyperplane_sig(vec: Column, num_planes: int, dim: int,
+                    seed: int = 777) -> Column:
+    """Sign-signature bucket id over the deterministic hyperplanes
+    (portable, seedless at runtime)."""
     sig = F.lit(0).cast("bigint")
-    for p, (a, b) in enumerate(_lcg_pairs(num_planes, seed=777)):
-        comps = [((a * (j + 1) + b) % MERSENNE_P) / MERSENNE_P - 0.5
-                 for j in range(dim)]
+    for p, comps in enumerate(
+            hyperplane_components(num_planes, dim, seed=seed)):
         proj = F.aggregate(
             F.zip_with(
                 vec,
@@ -79,30 +90,50 @@ def _hyperplane_sig(vec: Column, num_planes: int, dim: int) -> Column:
     return sig
 
 
-def lsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 10,
-            num_planes: int = 12, dim: int | None = None,
+def _table_buckets(vec: Column, num_planes: int, num_tables: int,
+                   dim: int) -> Column:
+    """Array of ``num_tables`` independent bucket ids (OR-amplification:
+    a pair is a candidate when it collides in ANY table).  Recall for a
+    pair at angle θ is 1 − (1 − p^planes)^tables with p = 1 − θ/π —
+    tables buy recall, planes bound bucket size (candidate volume)."""
+    return F.array(*[
+        _hyperplane_sig(vec, num_planes, dim, seed=777 + 1000 * t)
+        for t in range(num_tables)])
+
+
+def lsh_knn(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
+            num_planes: int = 8, num_tables: int = 4,
             id_col: str = "vec_id", vec_col: str = "embedding"
             ) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH buckets bound the join.
+    """Approximate top-k: multi-table random-hyperplane LSH buckets
+    bound the join.
 
-    Vectors landing in the same sign-signature bucket are compared
-    exactly; recall grows with fewer planes (bigger buckets).  The scale
-    path for billion-vector corpora — the bucket join replaces the cross
-    join; everything else matches :func:`brute_force_knn`.
+    Candidates = pairs colliding in any of ``num_tables`` independent
+    sign-signature tables; they are compared exactly and ranked.  The
+    scale path for billion-vector corpora — per-bucket fan-in replaces
+    the cross join; everything else matches :func:`brute_force_knn`.
+    ``dim`` is the embedding dimensionality and must be passed
+    explicitly (no driver-side data sniffing in an operator plan).
     """
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qv"),
-                       _hyperplane_sig(F.col(vec_col), num_planes, dim)
-                       .alias("__bkt"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cv"),
-                      _hyperplane_sig(F.col(vec_col), num_planes, dim)
-                      .alias("__bkt"))
-    scored = (
-        q.join(c, "__bkt")
+    bkts = _table_buckets(F.col(vec_col), num_planes, num_tables, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(bkts).alias("__t", "__bkt"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(bkts).alias("__t", "__bkt"))
+    cand = (
+        q.join(c, ["__t", "__bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("__cv"))
+    scored = (
+        cand.join(qv, "query_id").join(cv, "neighbor_id")
         .withColumn("sim", cosine_sim(F.col("__qv"), F.col("__cv")))
         .select("query_id", "neighbor_id", "sim")
     )
@@ -114,12 +145,16 @@ def lsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
 def cosine_near_dup(vectors: DataFrame, threshold: float = 0.95,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    num_planes: int = 8, dim: int | None = None,
-                    exact: bool = True) -> DataFrame:
+                    num_planes: int = 8, num_tables: int = 4,
+                    dim: int | None = None,
+                    exact: bool = False) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold.
 
-    ``exact=True`` uses the all-pairs product (small corpora / oracle);
-    otherwise LSH buckets bound the candidate set.
+    The default is the multi-table LSH candidate join (the 100 TB
+    shape: per-bucket fan-in instead of an all-pairs product; recall =
+    1 − (1 − p^planes)^tables, see :func:`_table_buckets`);
+    ``exact=True`` keeps the cross join as the small-corpus
+    verification oracle.  ``dim`` is required on the LSH path.
     Output: (vec_id_1, vec_id_2, sim).
     """
     a = vectors.select(F.col(id_col).alias("vec_id_1"),
@@ -127,18 +162,25 @@ def cosine_near_dup(vectors: DataFrame, threshold: float = 0.95,
     b = vectors.select(F.col(id_col).alias("vec_id_2"),
                        F.col(vec_col).alias("__v2"))
     if exact:
-        cand = a.crossJoin(b)
+        cand = (a.crossJoin(b)
+                .filter(F.col("vec_id_1") < F.col("vec_id_2")))
     else:
         if dim is None:
-            dim = len(vectors.select(vec_col).first()[0])
-        a = a.withColumn("__bkt",
-                         _hyperplane_sig(F.col("__v1"), num_planes, dim))
-        b = b.withColumn("__bkt",
-                         _hyperplane_sig(F.col("__v2"), num_planes, dim))
-        cand = a.join(b, "__bkt")
+            raise ValueError("dim is required on the LSH path")
+        bkts = _table_buckets(F.col(vec_col), num_planes, num_tables, dim)
+        keyed = vectors.select(F.col(id_col).alias("__id"),
+                               F.posexplode(bkts).alias("__t", "__bkt"))
+        l, r = keyed.alias("l"), keyed.alias("r")
+        cand = (
+            l.join(r, ["__t", "__bkt"])
+            .filter(F.col("l.__id") < F.col("r.__id"))
+            .select(F.col("l.__id").alias("vec_id_1"),
+                    F.col("r.__id").alias("vec_id_2"))
+            .distinct()
+            .join(a, "vec_id_1").join(b, "vec_id_2")
+        )
     return (
         cand
-        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
         .withColumn("sim", cosine_sim(F.col("__v1"), F.col("__v2")))
         .filter(F.col("sim") >= threshold)
         .select("vec_id_1", "vec_id_2", "sim")

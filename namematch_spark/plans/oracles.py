@@ -206,10 +206,32 @@ cosd AS (
 """
 
 
+# pair penalty = mean of the two names' last-name penalties, defaulting
+# to max_penalty (0.1) for unknown last names, mirroring
+# blocking._named_candidates (reference block.py:938-941, 1367-1368)
+NAMED = """
+named AS (
+  SELECT c.nn_string_1, c.nn_string_2, c.det_block, c.cos_dist,
+         (coalesce(p1.commonness_penalty, 0.1)
+          + coalesce(p2.commonness_penalty, 0.1)) / 2 AS penalty
+  FROM cosd c
+  LEFT JOIN pen p1
+    ON p1.last_name = CASE WHEN instr(c.nn_string_1, ' ') > 0
+         THEN substr(c.nn_string_1, instr(c.nn_string_1, ' ') + 1)
+         ELSE '' END
+  LEFT JOIN pen p2
+    ON p2.last_name = CASE WHEN instr(c.nn_string_2, ' ') > 0
+         THEN substr(c.nn_string_2, instr(c.nn_string_2, ' ') + 1)
+         ELSE '' END
+)
+"""
+
+
 def candidates_cte(num_hashes: int = 24, cos_bar: float = 0.4,
                    det_cos_bar: float = 0.55) -> str:
     """Full blocking output (exact ∪ det ∪ LSH + cosine + penalty bars),
-    mirroring ``blocking.candidate_nn_pairs``."""
+    mirroring ``blocking.candidate_nn_pairs`` (penalty TIGHTENS the
+    bar: cos + penalty <= bar)."""
     return f"""
 {AN.strip()},
 {NN.strip()},
@@ -227,31 +249,31 @@ cand AS (
 ),
 {VEC.strip()},
 {COS.strip()},
+{NAMED.strip()},
 cand_final AS (
   SELECT nn_string AS nn_string_1, nn_string AS nn_string_2,
          0.0 AS cos_dist
   FROM nn WHERE n_total > 1
   UNION ALL
-  SELECT c.nn_string_1, c.nn_string_2, c.cos_dist
-  FROM cosd c
-  LEFT JOIN pen
-    ON pen.last_name = CASE WHEN instr(c.nn_string_1, ' ') > 0
-         THEN regexp_extract(c.nn_string_1, '([^ ]+)$', 1)
-         ELSE c.nn_string_1 END
-  WHERE c.cos_dist - coalesce(pen.commonness_penalty, 0) <= {cos_bar}
-     OR (c.det_block = 1
-         AND c.cos_dist - coalesce(pen.commonness_penalty, 0)
-             <= {det_cos_bar})
+  SELECT nn_string_1, nn_string_2, cos_dist
+  FROM named
+  WHERE cos_dist + penalty <= {cos_bar}
+     OR (det_block = 1 AND cos_dist + penalty <= {det_cos_bar})
 )
 """
 
 
-def bs_candidates_cte(num_hashes: int = 24) -> str:
+def bs_candidates_cte(num_hashes: int = 24, an_cte: str | None = None
+                      ) -> str:
     """Blockstring-level blocking output with the reference's F15 bars
-    (``block.py:969-981``), mirroring
-    ``blocking.candidate_blockstring_pairs`` (default DEFAULT_BARS)."""
+    (``block.py:969-981``; dob edit distance −1 when missing, min-age
+    absval fallback), mirroring
+    ``blocking.candidate_blockstring_pairs`` (default DEFAULT_BARS).
+    ``an_cte`` swaps in an alternative all-names CTE (config-schema
+    queries) — it must expose nn_string/last_name/dob/age/drop_from_nm.
+    """
     return f"""
-{AN.strip()},
+{(an_cte or AN).strip()},
 {NN.strip()},
 {PEN.strip()},
 {DETKEY.strip()},
@@ -267,45 +289,56 @@ cand AS (
 ),
 {VEC.strip()},
 {COS.strip()},
-named AS (
-  SELECT c.nn_string_1, c.nn_string_2, c.det_block, c.cos_dist,
-         coalesce(pen.commonness_penalty, 0) AS penalty
-  FROM cosd c
-  LEFT JOIN pen
-    ON pen.last_name = CASE WHEN instr(c.nn_string_1, ' ') > 0
-         THEN regexp_extract(c.nn_string_1, '([^ ]+)$', 1)
-         ELSE c.nn_string_1 END
-  WHERE c.cos_dist - coalesce(pen.commonness_penalty, 0) <= 0.55
+{NAMED.strip()},
+named_pruned AS (
+  SELECT * FROM named WHERE cos_dist + penalty <= 0.55
 ),
 bst AS (
   SELECT nn_string, dob, count(*) AS n_rec,
+         list_sort(list_distinct(list(try_cast(age AS DOUBLE))
+                                 FILTER (WHERE age <> ''))) AS ages,
          nn_string || '::' || dob AS blockstring
   FROM an WHERE drop_from_nm = 0
   GROUP BY nn_string, dob
 ),
-near_bs AS (
-  SELECT b1.blockstring AS blockstring_1,
-         b2.blockstring AS blockstring_2, n.cos_dist
-  FROM named n
+bsp AS (
+  SELECT n.cos_dist, n.penalty, n.det_block,
+         b1.blockstring AS blockstring_1,
+         b2.blockstring AS blockstring_2,
+         CASE WHEN b1.dob = '' OR b2.dob = '' THEN -1
+              ELSE levenshtein(b1.dob, b2.dob) END AS dob_ed,
+         list_min(flatten(list_transform(b1.ages,
+             x -> list_transform(b2.ages, y -> abs(x - y))))) AS age_diff
+  FROM named_pruned n
   JOIN bst b1 ON b1.nn_string = n.nn_string_1
   JOIN bst b2 ON b2.nn_string = n.nn_string_2
-  WHERE (n.cos_dist - n.penalty <= 0.26)
-     OR (n.cos_dist - n.penalty <= 0.30
-         AND b1.dob <> '' AND b2.dob <> ''
-         AND levenshtein(b1.dob, b2.dob) <= 1)
-     OR (n.cos_dist - n.penalty <= 0.40
-         AND (b1.dob = '' OR b2.dob = ''))
-     OR (n.det_block = 1 AND n.cos_dist - n.penalty <= 0.55
-         AND ((b1.dob <> '' AND b2.dob <> ''
-               AND levenshtein(b1.dob, b2.dob) <= 1)
-              OR b1.dob = '' OR b2.dob = ''))
+),
+near_bs AS (
+  SELECT blockstring_1, blockstring_2, cos_dist
+  FROM bsp
+  WHERE (cos_dist + penalty <= 0.30 AND dob_ed >= 0 AND dob_ed <= 2)
+     OR (cos_dist + penalty <= 0.40 AND dob_ed >= 0 AND dob_ed <= 1)
+     OR (cos_dist + penalty <= 0.26 AND dob_ed = -1
+         AND (age_diff IS NULL OR age_diff <= 3))
+     OR (det_block = 1 AND cos_dist + penalty <= 0.55
+         AND ((dob_ed >= 0 AND dob_ed <= 2)
+              OR (dob_ed = -1 AND (age_diff IS NULL OR age_diff <= 3))))
 ),
 cand_bs AS (
   SELECT b1.blockstring AS blockstring_1,
          b2.blockstring AS blockstring_2, 0.0 AS cos_dist
   FROM bst b1 JOIN bst b2 ON b1.nn_string = b2.nn_string
-  WHERE b1.blockstring < b2.blockstring
-     OR (b1.blockstring = b2.blockstring AND b1.n_rec > 1)
+  WHERE (b1.blockstring < b2.blockstring
+         OR (b1.blockstring = b2.blockstring AND b1.n_rec > 1))
+    AND ((CASE WHEN b1.dob = '' OR b2.dob = '' THEN -1
+               ELSE levenshtein(b1.dob, b2.dob) END BETWEEN 0 AND 2)
+         OR ((b1.dob = '' OR b2.dob = '')
+             AND (list_min(flatten(list_transform(b1.ages,
+                      x -> list_transform(b2.ages, y -> abs(x - y)))))
+                  IS NULL
+                  OR list_min(flatten(list_transform(b1.ages,
+                      x -> list_transform(b2.ages, y -> abs(x - y)))))
+                     <= 3)))
   UNION ALL
   SELECT * FROM near_bs
 )
@@ -471,6 +504,293 @@ reach(node, lbl) AS (
 )
 SELECT node AS record_id, min(lbl) AS cluster_id
 FROM reach GROUP BY node
+"""
+
+
+def er_nameprob_features() -> str:
+    """Name-probability features over the candidate record pairs: the
+    six kept count-percentile features (``generate_data_rows.py:
+    253-259``), the swap-repair decision (``comparison_functions.py:
+    77-146``) and the 5-gram log P(name) (``counter.py:22-43``) — all
+    pure SQL (explode + group + window + log-sum)."""
+    return f"""
+WITH person AS ({PERSON}),
+{bs_candidates_cte().strip()},
+an2 AS (SELECT *, nn_string || '::' || dob AS bs
+        FROM an WHERE drop_from_nm = 0),
+rp AS (
+  SELECT a1.record_id AS record_id_1, a2.record_id AS record_id_2,
+         a1.first_name AS fn1, a1.last_name AS ln1,
+         a2.first_name AS fn2, a2.last_name AS ln2
+  FROM cand_bs c
+  JOIN an2 a1 ON a1.bs = c.blockstring_1
+  JOIN an2 a2 ON a2.bs = c.blockstring_2
+  WHERE c.blockstring_1 <> c.blockstring_2
+     OR a1.record_id < a2.record_id
+),
+nps AS (SELECT '*' || replace(first_name, ' ', '') || ' '
+               || replace(last_name, ' ', '') || '*' AS s,
+               replace(first_name, ' ', '') AS f,
+               replace(last_name, ' ', '') AS l
+        FROM an WHERE drop_from_nm = 0),
+grams AS (
+  SELECT substr(s, i, 5) AS gram
+  FROM (SELECT s, unnest(generate_series(1, length(s) - 4)) AS i
+        FROM nps WHERE length(s) >= 5)
+  UNION ALL
+  SELECT substr(s, i, 4)
+  FROM (SELECT s, unnest(generate_series(1, length(s) - 3)) AS i
+        FROM nps WHERE length(s) >= 4)
+),
+gcnt AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY gram),
+dn AS (SELECT DISTINCT s FROM nps),
+npos AS (SELECT s, substr(s, i, 5) AS g5, substr(s, i, 4) AS g4
+         FROM (SELECT s, unnest(generate_series(1, length(s) - 4)) AS i
+               FROM dn WHERE length(s) >= 5)),
+nprob AS (
+  SELECT npos.s,
+         sum(ln((coalesce(c5.cnt, 0) + 0.001)
+                / (coalesce(c4.cnt, 0) + 0.001))) AS log_prob,
+         exp(sum(ln((coalesce(c5.cnt, 0) + 0.001)
+                    / (coalesce(c4.cnt, 0) + 0.001)))) AS prob
+  FROM npos LEFT JOIN gcnt c5 ON c5.gram = npos.g5
+            LEFT JOIN gcnt c4 ON c4.gram = npos.g4
+  GROUP BY npos.s
+),
+pcn AS (SELECT s AS v, count(*) AS c FROM nps GROUP BY s),
+pctl_name AS (SELECT v, round(rank() OVER (ORDER BY c)::DOUBLE
+                              / (SELECT count(*) FROM pcn), 2) AS p
+              FROM pcn),
+pcf AS (SELECT f AS v, count(*) AS c FROM nps GROUP BY f),
+pctl_fn AS (SELECT v, round(rank() OVER (ORDER BY c)::DOUBLE
+                            / (SELECT count(*) FROM pcf), 2) AS p
+            FROM pcf),
+pcl AS (SELECT l AS v, count(*) AS c FROM nps GROUP BY l),
+pctl_ln AS (SELECT v, round(rank() OVER (ORDER BY c)::DOUBLE
+                            / (SELECT count(*) FROM pcl), 2) AS p
+            FROM pcl),
+feat AS (
+  SELECT record_id_1 || '__' || record_id_2 AS dr_id,
+         '*' || replace(fn1, ' ', '') || ' '
+             || replace(ln1, ' ', '') || '*' AS s1,
+         '*' || replace(fn2, ' ', '') || ' '
+             || replace(ln2, ' ', '') || '*' AS s2,
+         replace(fn1, ' ', '') AS f1, replace(fn2, ' ', '') AS f2,
+         replace(ln1, ' ', '') AS l1, replace(ln2, ' ', '') AS l2,
+         levenshtein(fn1 || ln1, fn2 || ln2) AS name_ed,
+         levenshtein(ln1 || fn1, fn2 || ln2) AS rev_ed
+  FROM rp
+)
+SELECT f.dr_id,
+       abs(n1.p - n2.p) AS diff_count_pctl_name,
+       greatest(n1.p, n2.p) AS max_count_pctl_name,
+       abs(f1p.p - f2p.p) AS diff_count_pctl_fn,
+       greatest(f1p.p, f2p.p) AS max_count_pctl_fn,
+       abs(l1p.p - l2p.p) AS diff_count_pctl_ln,
+       greatest(l1p.p, l2p.p) AS max_count_pctl_ln,
+       CASE WHEN f.rev_ed < f.name_ed
+            THEN (p2.prob < p1.prob)::INT + 1 ELSE 0 END
+          AS switched_name,
+       round(p1.log_prob, 6) AS log_prob_name_1
+FROM feat f
+JOIN pctl_name n1 ON n1.v = f.s1
+JOIN pctl_name n2 ON n2.v = f.s2
+JOIN pctl_fn f1p ON f1p.v = f.f1
+JOIN pctl_fn f2p ON f2p.v = f.f2
+JOIN pctl_ln l1p ON l1p.v = f.l1
+JOIN pctl_ln l2p ON l2p.v = f.l2
+JOIN nprob p1 ON p1.s = f.s1
+JOIN nprob p2 ON p2.s = f.s2
+"""
+
+
+# ---------------------------------------------------------------------------
+# config-driven schema queries (two data files, Geography/Address/extra
+# Categorical) — mirrors schema.preprocess_with_schema over
+# configs.DEMO_CONFIG
+# ---------------------------------------------------------------------------
+
+def _suffix_case_sql(tok: str) -> str:
+    from namematch_spark.schema import ADDRESS_SUFFIX_MAP
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'"
+                     for k, v in ADDRESS_SUFFIX_MAP.items())
+    return f"CASE {tok} {whens} ELSE '' END"
+
+
+def _cfg_an_cte() -> str:
+    """The config all-names CTE: per-variable processing mirrored in SQL
+    (clean names reduce to hyphen→space for the synthetic alphabet; the
+    Address parse mirrors ``schema.address_cols`` regexes; Geography
+    mirrors ``schema.geography_col``)."""
+    from namematch_spark.sources.records import _CITY
+    cities = ", ".join(f"'{c}'" for c in _CITY)
+    return f"""
+pv AS (
+  SELECT o_orderkey,
+         first_name,
+         replace(last_name, '-', ' ') AS last_name,
+         dob, age, gender,
+         CASE WHEN upper(trim(city)) IN ({cities})
+              THEN upper(trim(city)) ELSE '' END AS city,
+         CASE WHEN trim(geo_x) <> '' AND trim(geo_y) <> ''
+              THEN trim(geo_x) || ',' || trim(geo_y)
+              ELSE '' END AS home_geo,
+         regexp_extract(a2, '^(\\d+)\\b', 1) AS address_street_number,
+         CASE WHEN {_suffix_case_sql("rest_toks[-1]")} <> ''
+                   AND len(rest_toks) > 1
+              THEN array_to_string(rest_toks[1:len(rest_toks) - 1], ' ')
+              ELSE rest END AS address_street_name,
+         {_suffix_case_sql("rest_toks[-1]")} AS address_street_type,
+         uid,
+         first_name || ' ' || replace(last_name, '-', ' ') AS nn_string,
+         first_name || '::' || replace(last_name, '-', ' ')
+            || '::' || dob AS blockstring
+  FROM (
+    SELECT *,
+           trim(regexp_replace(a2, '^\\d+\\s*', '')) AS rest,
+           string_split(trim(regexp_replace(a2, '^\\d+\\s*', '')), ' ')
+              AS rest_toks
+    FROM (
+      SELECT *,
+             trim(regexp_replace(
+                 regexp_replace(
+                     CASE WHEN lower(trim(address)) IN
+                               ('redacted', 'redact') THEN ''
+                          ELSE lower(trim(address)) END,
+                     '[.,#]', ' ', 'g'),
+                 '\\s+', ' ', 'g')) AS a2
+      FROM person
+    )
+  )
+),
+an AS (
+  SELECT 'ord__' || CAST(o_orderkey AS VARCHAR) AS record_id,
+         'new' AS file_type, 'ord' AS dataset,
+         * EXCLUDE (o_orderkey), 0 AS drop_from_nm
+  FROM pv WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT 'hist__' || CAST(o_orderkey AS VARCHAR) AS record_id,
+         'existing' AS file_type, 'hist' AS dataset,
+         * EXCLUDE (o_orderkey), 0 AS drop_from_nm
+  FROM pv WHERE o_orderkey % 7 = 0
+)
+"""
+
+
+CFG_AN_COLS = ["record_id", "file_type", "dataset", "first_name",
+               "last_name", "dob", "age", "gender", "city", "home_geo",
+               "address_street_number", "address_street_name",
+               "address_street_type", "uid", "blockstring",
+               "drop_from_nm"]
+
+
+def er_config_preprocess() -> str:
+    from namematch_spark.sources.records import \
+        person_records_ext_oracle_cte
+    return f"""
+WITH person AS ({person_records_ext_oracle_cte("orders")}),
+{_cfg_an_cte().strip()}
+SELECT {", ".join(CFG_AN_COLS)} FROM an
+"""
+
+
+def er_blockstats_ft() -> str:
+    """A1 in full: nn_string counts pivoted by file_type
+    (``block.py:1291-1326``)."""
+    from namematch_spark.sources.records import \
+        person_records_ext_oracle_cte
+    return f"""
+WITH person AS ({person_records_ext_oracle_cte("orders")}),
+{_cfg_an_cte().strip()}
+SELECT nn_string,
+       sum(CASE WHEN file_type = 'new' THEN 1 ELSE 0 END) AS n_new,
+       sum(CASE WHEN file_type = 'existing' THEN 1 ELSE 0 END)
+          AS n_existing,
+       count(*) AS n_total
+FROM an WHERE drop_from_nm = 0
+GROUP BY nn_string
+"""
+
+
+def _str_feat_sql(v: str, c1: str, c2: str) -> str:
+    return f"""
+  CASE WHEN {c1}='' OR {c2}='' THEN 1.0 ELSE 0.0 END AS var_{v}_missing,
+  CASE WHEN {c1}='' OR {c2}='' THEN NULL
+       ELSE levenshtein({c1}, {c2})::DOUBLE END AS var_{v}_edit_dist,
+  CASE WHEN {c1}='' OR {c2}='' THEN NULL
+       ELSE round(1 - jaro_winkler_similarity({c1}, {c2}), 6)
+       END AS var_{v}_jw_dist"""
+
+
+def _cat_feat_sql(v: str, c1: str, c2: str) -> str:
+    return f"""
+  CASE WHEN {c1}='' OR {c2}='' THEN 1.0 ELSE 0.0 END AS var_{v}_missing,
+  CASE WHEN {c1}='' OR {c2}='' THEN NULL
+       ELSE ({c1} = {c2})::INT::DOUBLE END AS var_{v}_exact_match"""
+
+
+def er_config_pair_features() -> str:
+    """Record-pair features for the DEMO config's variable set: strings,
+    date, numeric, two categoricals, Geography (euclidean over "x,y")
+    and the three parsed Address sub-fields."""
+    from namematch_spark.sources.records import \
+        person_records_ext_oracle_cte
+    return f"""
+WITH person AS ({person_records_ext_oracle_cte("orders")}),
+{bs_candidates_cte(an_cte=_cfg_an_cte()).strip()},
+rp AS (
+  SELECT a1.record_id AS record_id_1, a2.record_id AS record_id_2,
+         a1.first_name AS fn1, a2.first_name AS fn2,
+         a1.last_name AS ln1, a2.last_name AS ln2,
+         a1.dob AS dob1, a2.dob AS dob2,
+         a1.age AS age1, a2.age AS age2,
+         a1.gender AS g1, a2.gender AS g2,
+         a1.city AS city1, a2.city AS city2,
+         a1.home_geo AS geo1, a2.home_geo AS geo2,
+         a1.address_street_number AS hn1,
+         a2.address_street_number AS hn2,
+         a1.address_street_name AS sn1, a2.address_street_name AS sn2,
+         a1.address_street_type AS st1, a2.address_street_type AS st2,
+         a1.uid AS uid_1, a2.uid AS uid_2
+  FROM cand_bs c
+  JOIN an a1 ON a1.nn_string || '::' || a1.dob = c.blockstring_1
+            AND a1.drop_from_nm = 0
+  JOIN an a2 ON a2.nn_string || '::' || a2.dob = c.blockstring_2
+            AND a2.drop_from_nm = 0
+  WHERE c.blockstring_1 <> c.blockstring_2
+     OR a1.record_id < a2.record_id
+)
+SELECT record_id_1 || '__' || record_id_2 AS dr_id,
+{_str_feat_sql("first_name", "fn1", "fn2")},
+{_str_feat_sql("last_name", "ln1", "ln2")},
+  CASE WHEN dob1='' OR dob2='' THEN 1.0 ELSE 0.0 END AS var_dob_missing,
+  CASE WHEN dob1='' OR dob2='' THEN NULL
+       ELSE levenshtein(dob1, dob2)::DOUBLE END AS var_dob_edit_dist,
+  CASE WHEN dob1='' OR dob2='' THEN NULL
+       ELSE abs(date_diff('day', dob2::DATE, dob1::DATE))::DOUBLE
+       END AS var_dob_day_diff,
+  CASE WHEN age1='' OR age2='' THEN 1.0 ELSE 0.0 END AS var_age_missing,
+  CASE WHEN age1='' OR age2='' THEN NULL
+       ELSE abs(age1::DOUBLE - age2::DOUBLE) END AS var_age_num_diff,
+{_cat_feat_sql("gender", "g1", "g2")},
+{_cat_feat_sql("city", "city1", "city2")},
+  CASE WHEN geo1='' OR geo2='' THEN 1.0 ELSE 0.0
+       END AS var_home_geo_missing,
+  CASE WHEN geo1='' OR geo2='' THEN NULL
+       ELSE round(sqrt(
+            pow(string_split(geo1, ',')[1]::DOUBLE
+                - string_split(geo2, ',')[1]::DOUBLE, 2)
+          + pow(string_split(geo1, ',')[2]::DOUBLE
+                - string_split(geo2, ',')[2]::DOUBLE, 2)), 6)
+       END AS var_home_geo_geog_dist,
+{_str_feat_sql("address_street_number", "hn1", "hn2")},
+{_str_feat_sql("address_street_name", "sn1", "sn2")},
+{_cat_feat_sql("address_street_type", "st1", "st2")},
+  CASE WHEN uid_1='' OR uid_2='' THEN ''
+       WHEN uid_1 = uid_2 THEN '1'
+       WHEN levenshtein(uid_1, uid_2) <= 1 THEN ''
+       ELSE '0' END AS label
+FROM rp
 """
 
 
@@ -659,6 +979,106 @@ ranked AS (
   FROM pairs
 )
 SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _hyperplane_bucket_sql(num_planes: int, dim: int,
+                           seed: int = 777) -> str:
+    """Bucket id per vector, mirroring ``similarity._hyperplane_sig``
+    bit-for-bit (same LCG plane constants, same widen-to-double
+    sequential dot product)."""
+    from namematch_spark.operators.similarity import hyperplane_components
+    terms = []
+    for p, comps in enumerate(
+            hyperplane_components(num_planes, dim, seed=seed)):
+        lits = ", ".join(repr(float(c)) for c in comps)
+        terms.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], [{lits}]) > 0"
+            f" THEN {2 ** p}::BIGINT ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _bucket_table_sql(num_planes: int, num_tables: int, dim: int) -> str:
+    """CTE ``b(vec_id, embedding, bkt0..bkt{L-1})`` — the multi-table
+    bucket assignment mirroring ``similarity._table_buckets`` (seeds
+    777 + 1000t)."""
+    cols = ",\n         ".join(
+        f"{_hyperplane_bucket_sql(num_planes, dim, seed=777 + 1000 * t)}"
+        f" AS bkt{t}" for t in range(num_tables))
+    return f"""
+b AS (
+  SELECT vec_id, embedding,
+         {cols}
+  FROM embeddings
+)
+"""
+
+
+def emb_knn_lsh(k: int = 5, num_planes: int = 8, num_tables: int = 4,
+                dim: int = 64) -> str:
+    """Oracle for the multi-table LSH kNN: identical bucket assignment
+    (OR over tables) + within-bucket exact cosine + rank — the scale
+    path checked exactly, not just by recall."""
+    joins = "\n  UNION\n".join(
+        f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id\n"
+        f"  FROM b q JOIN b c ON q.bkt{t} = c.bkt{t} "
+        f"AND q.vec_id <> c.vec_id" for t in range(num_tables))
+    return f"""
+WITH {_bucket_table_sql(num_planes, num_tables, dim).strip()},
+cand AS (
+{joins}
+),
+pairs AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(
+           list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]))), 6) AS sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def emb_near_dup_lsh(threshold: float = 0.35, num_planes: int = 8,
+                     num_tables: int = 4, dim: int = 64) -> str:
+    """Oracle for the multi-table LSH near-dup path (default
+    ``cosine_near_dup``)."""
+    joins = "\n  UNION\n".join(
+        f"  SELECT l.vec_id AS vec_id_1, r.vec_id AS vec_id_2\n"
+        f"  FROM b l JOIN b r ON l.bkt{t} = r.bkt{t} "
+        f"AND l.vec_id < r.vec_id" for t in range(num_tables))
+    return f"""
+WITH {_bucket_table_sql(num_planes, num_tables, dim).strip()},
+cand AS (
+{joins}
+)
+SELECT cand.vec_id_1, cand.vec_id_2,
+       round(
+         list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                  a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]))), 6) AS sim
+FROM cand
+JOIN embeddings a ON a.vec_id = cand.vec_id_1
+JOIN embeddings c ON c.vec_id = cand.vec_id_2
+WHERE list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                               a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                 c.embedding::DOUBLE[])))
+      >= {threshold}
 """
 
 

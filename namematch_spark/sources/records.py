@@ -110,6 +110,55 @@ FROM ({_BASE.strip()}) b
 """.strip()
 
 
+_STREET = ["maple", "oak", "cedar", "elm", "birch", "walnut", "spruce",
+           "willow", "ashwood", "lakeview", "hillcrest", "riverside",
+           "sunset"]
+_SUFFIX = ["st", "ave", "rd", "blvd", "ln", "dr", "ct"]
+_CITY = ["SPRINGFIELD", "RIVERTON", "LAKEWOOD", "FAIRVIEW", "GREENVILLE",
+         "BRISTOL", "CLAYTON", "DAYTON"]
+
+#: Extended derivation for the config-driven schema queries: the same
+#: person core plus a raw full-address string (Address compare type,
+#: 1-column parse path), split geo coordinates (Geography, 2-column
+#: merge path) and a city (Categorical).  Kept separate from
+#: ``PERSON_RECORDS_SQL`` so the round-1 oracle surfaces stay
+#: byte-stable; shares the ``_BASE`` CTE.  Perturbations: 6 → address
+#: missing, 7 → one geo coordinate missing (merge must yield ``''``),
+#: 8 → invalid city (whitelisted out).
+PERSON_RECORDS_EXT_SQL = f"""
+SELECT
+  o_orderkey,
+  CASE WHEN perturb = 4
+       THEN SUBSTR(fn0, 1, 1)
+       WHEN perturb = 0
+       THEN SUBSTR(fn0, 1, 1) || SUBSTR(fn0, 3)
+       ELSE fn0 END AS first_name,
+  CASE WHEN perturb = 1
+       THEN SUBSTR(ln0, 1, 1) || SUBSTR(ln0, 3, 1)
+            || SUBSTR(ln0, 2, 1) || SUBSTR(ln0, 4)
+       WHEN perturb = 3
+       THEN ln0 || '-' || ln_alt
+       ELSE ln0 END AS last_name,
+  CASE WHEN perturb = 2 THEN '' ELSE dob0 END AS dob,
+  gender,
+  CASE WHEN perturb = 5 THEN '' ELSE age END AS age,
+  CASE WHEN o_orderkey % 3 = 0
+       THEN ''
+       ELSE CAST(o_custkey AS VARCHAR(20)) END AS uid,
+  CASE WHEN perturb = 6 THEN ''
+       ELSE CAST(1 + o_custkey % 9899 AS VARCHAR(5)) || ' '
+            || {_case(f"o_custkey % {len(_STREET)}", _STREET)} || ' '
+            || {_case(f"o_custkey % {len(_SUFFIX)}", _SUFFIX)}
+       END AS address,
+  CAST(4100 + o_custkey % 200 AS VARCHAR(5)) AS geo_x,
+  CASE WHEN perturb = 7 THEN ''
+       ELSE CAST(8700 + o_custkey % 300 AS VARCHAR(5)) END AS geo_y,
+  CASE WHEN perturb = 8 THEN 'XXX'
+       ELSE {_case(f"o_custkey % {len(_CITY)}", _CITY)} END AS city
+FROM ({_BASE.strip()}) b
+""".strip()
+
+
 def person_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-side derivation: register ``orders`` and run the shared SQL."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -120,3 +169,14 @@ def person_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 def person_records_oracle_cte(orders_view: str = "orders") -> str:
     """The same derivation as a CTE body for DuckDB oracle SQL."""
     return PERSON_RECORDS_SQL.format(orders=orders_view)
+
+
+def person_records_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side extended derivation (config-schema queries)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("__nm_orders")
+    return spark.sql(PERSON_RECORDS_EXT_SQL.format(orders="__nm_orders"))
+
+
+def person_records_ext_oracle_cte(orders_view: str = "orders") -> str:
+    return PERSON_RECORDS_EXT_SQL.format(orders=orders_view)

@@ -89,6 +89,36 @@ def test_user_constraint_hook(spark):
     assert res2["A"] != res2["B"]        # vetoed in replay
 
 
+def test_mustlink_edges_in_dirty_component(spark):
+    # A(uid=1) -gt- B(uid=1), B -0.9- C(uid=2).  The component is dirty
+    # (2 uids).  The replay must take uids from the all-names table: if
+    # it trusted edge metadata, the gt edge (no uids) would blank A/B's
+    # uid and the B-C merge would slip through the auto constraint
+    # (ADVICE r1, high).
+    an = _an(spark, [("A", "1", 0), ("B", "1", 0), ("C", "2", 0)])
+    edges = _edges(spark, [("B__C", "B", "C", "1", "2", 0, 0.9)])
+    ml = spark.createDataFrame([("A", "B")], EDGE_SCHEMA)
+    res = {r["record_id"]: r["cluster_id"]
+           for r in constrained_clusters(edges, ml, an).collect()}
+    assert res["A"] == res["B"]          # must-link honored
+    assert res["C"] != res["A"]          # uid conflict still enforced
+
+
+def test_gt_edge_bypasses_user_constraint(spark):
+    # the user hook rejects everything, but a gt (must-link) edge must
+    # still merge (reference: ``edge_is_gt or is_valid_cluster``); the
+    # component is made dirty via an extra uid so the replay runs.
+    an = _an(spark, [("A", "1", 0), ("B", "1", 0), ("C", "2", 0)])
+    edges = _edges(spark, [("A__B", "A", "B", "1", "1", 1, 1.0),
+                           ("B__C", "B", "C", "1", "2", 0, 0.9)])
+    res = {r["record_id"]: r["cluster_id"]
+           for r in constrained_clusters(
+               edges, _ml_empty(spark), an,
+               is_valid_cluster=lambda uids: False).collect()}
+    assert res["A"] == res["B"]          # gt merge bypasses user veto
+    assert res["C"] != res["A"]          # non-gt merge vetoed
+
+
 def test_min_id_convention(spark):
     edges = spark.createDataFrame([("Z", "M"), ("M", "B")], EDGE_SCHEMA)
     res = {r["record_id"]: r["cluster_id"]

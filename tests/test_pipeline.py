@@ -12,9 +12,10 @@ from tests.conftest import SF_SMALL
 
 @pytest.fixture(scope="module")
 def result(spark):
-    from namematch_spark.pipeline import run_pipeline
+    from namematch_spark.pipeline import PipelineConfig, run_pipeline
     from namematch_spark.sources.records import person_records
-    return run_pipeline(person_records(spark, SF_SMALL))
+    return run_pipeline(person_records(spark, SF_SMALL),
+                        PipelineConfig(evaluate=True))
 
 
 def test_f1_gate(result):

@@ -46,11 +46,11 @@ def test_pages_roundtrip_to_records(spark):
 def test_pipeline_over_web_pages(spark):
     """The graft end-to-end: web pages -> extraction -> records ->
     linkage; F1 gate holds on the page-derived input."""
-    from namematch_spark.pipeline import run_pipeline
+    from namematch_spark.pipeline import PipelineConfig, run_pipeline
     from namematch_spark.sources.webpages import (pages_to_records,
                                                   synth_web_pages)
     recs = pages_to_records(synth_web_pages(spark, SF_SMALL))
-    res = run_pipeline(recs)
+    res = run_pipeline(recs, PipelineConfig(evaluate=True))
     assert res.metrics["pairwise"]["f1"] >= 0.99
 
 
