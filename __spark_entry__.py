@@ -19,7 +19,6 @@ from namematch_spark.operators import blocking as B
 from namematch_spark.operators import dedup as D
 from namematch_spark.operators import similarity as S
 from namematch_spark.operators.cluster import connected_components
-from namematch_spark.operators.model import potential_links, score_pairs
 from namematch_spark.operators.multimodal import (docs_as_media,
                                                   extract_media_features)
 from namematch_spark.operators.mustlinks import must_links
@@ -152,21 +151,56 @@ def q_er_cc_mustlinks(spark, sf):
 
 
 def q_er_potential_links(spark, sf):
-    # RF-dependent: rows-only check (non-SQL-expressible)
-    from namematch_spark.operators.model import train_match_model
+    # RF-dependent: rows-only check (non-SQL-expressible).  Scores with
+    # the full model registry: basic + dob-missingness model (M2).
+    from namematch_spark.operators.model import (
+        potential_links_model_set, score_with_model_set, train_model_set)
     an = _an(spark, sf).cache()
     rp = expand_bs_to_record_pairs(
         B.candidate_blockstring_pairs(an), an).cache()
     dr = pair_features(rp, leven_thresh=1).cache()
-    mm = train_match_model(dr)
-    return potential_links(score_pairs(mm.model, dr), mm.threshold).select(
-        "dr_id", "record_id_1", "record_id_2", "phat", "gt")
+    ms = train_model_set(dr)
+    return potential_links_model_set(
+        score_with_model_set(ms, dr), ms).select(
+        "dr_id", "record_id_1", "record_id_2", "model_to_use",
+        "phat", "gt")
 
 
 def q_er_clusters(spark, sf):
     from namematch_spark.pipeline import run_pipeline
     res = run_pipeline(person_records(spark, sf))
     return res.clusters
+
+
+def q_er_incremental(spark, sf):
+    # incremental mode (ExistingID seeding + stable ids, G2-eid) over
+    # the deterministic must-link graph — fully oracle-checkable
+    from namematch_spark.operators.cluster import constrained_clusters
+    an = _an(spark, sf).withColumn(
+        "eid",
+        F.when((F.col("uid") != "")
+               & (F.col("uid").cast("bigint") % 5 == 0),
+               F.concat(F.lit("prev_"), F.col("uid")))
+        .otherwise(F.lit("")))
+    ml = must_links(an).filter(
+        (F.col("drop_from_nm_1") == 0) & (F.col("drop_from_nm_2") == 0))
+    empty = an.sparkSession.createDataFrame(
+        [], "dr_id string, record_id_1 string, record_id_2 string, "
+            "gt int, phat double")
+    return constrained_clusters(empty, ml, an, eid_col="eid")
+
+
+def q_er_output(spark, sf):
+    # output stage (S8/G5) over the deterministic must-link clustering,
+    # so the raw-value restore + cluster join are fully oracle-checkable
+    from namematch_spark.operators.output import all_names_with_clusterid
+    an = _an(spark, sf)
+    ml = must_links(an)
+    nodes = an.filter(F.col("drop_from_nm") == 0).select("record_id")
+    cc = connected_components(ml, nodes)
+    return all_names_with_clusterid(an, cc).select(
+        "record_id", "first_name", "last_name", "dob", "gender", "age",
+        "uid", "blockstring", "drop_from_nm", "cluster_id")
 
 
 # ---------------------------------------------------------------------------
@@ -237,6 +271,27 @@ def q_er_config_pair_features(spark, sf):
     return dr.select(
         *[F.round(c, 6).alias(c) if c in _CFG_ROUND else F.col(c)
           for c in CFG_FEATURE_ORACLE_COLS])
+
+
+# ---------------------------------------------------------------------------
+# web-pages graft queries (BASELINE input shape)
+# ---------------------------------------------------------------------------
+
+def q_wp_extract(spark, sf):
+    # binary html -> text through the Arrow UDF (the production path);
+    # the oracle rebuilds the expected text independently, so the
+    # hash-match checks the byte-identical-extraction invariant
+    from namematch_spark.sources.webpages import (extract_text_udf,
+                                                  synth_web_pages)
+    pages = synth_web_pages(spark, sf).select("url", "html")
+    return extract_text_udf(pages).select(
+        "url", F.col("extracted_text").alias("text"))
+
+
+def q_wp_records(spark, sf):
+    from namematch_spark.sources.webpages import (pages_to_records,
+                                                  synth_web_pages)
+    return pages_to_records(synth_web_pages(spark, sf))
 
 
 # ---------------------------------------------------------------------------
@@ -377,10 +432,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cc_mustlinks": q_er_cc_mustlinks,
         "er_potential_links": q_er_potential_links,
         "er_clusters": q_er_clusters,
+        "er_incremental": q_er_incremental,
+        "er_output": q_er_output,
         # config-driven schema layer
         "er_config_preprocess": q_er_config_preprocess,
         "er_blockstats_ft": q_er_blockstats_ft,
         "er_config_pair_features": q_er_config_pair_features,
+        # web-pages graft
+        "wp_extract": q_wp_extract,
+        "wp_records": q_wp_records,
         # training-data pipeline
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_minhash_lsh": q_doc_minhash_lsh,
@@ -414,9 +474,13 @@ def oracle_sql() -> dict[str, str]:
         "er_nameprob_features": oracles.er_nameprob_features(),
         "er_cc_mustlinks": oracles.er_cc_mustlinks(),
         # er_potential_links / er_clusters: RF-dependent → rows-only
+        "er_incremental": oracles.er_incremental(),
+        "er_output": oracles.er_output(),
         "er_config_preprocess": oracles.er_config_preprocess(),
         "er_blockstats_ft": oracles.er_blockstats_ft(),
         "er_config_pair_features": oracles.er_config_pair_features(),
+        "wp_extract": oracles.wp_extract(),
+        "wp_records": oracles.wp_records(),
         "doc_dedup_exact": oracles.doc_dedup_exact(),
         "doc_minhash_lsh": oracles.doc_minhash_lsh(),
         "doc_ngram_jaccard": oracles.doc_ngram_jaccard(),

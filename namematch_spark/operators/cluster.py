@@ -123,12 +123,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     return assign
 
 
-def _greedy_replay_factory(
-        leven_thresh: int | None,
-        is_valid_cluster: Callable[[set[str]], bool] | None):
-    """Build the per-component greedy merge function (G3,
-    ``cluster.py:650-713``).  Runs inside applyInPandas; each group is
-    one connected component's edge list plus per-record uids."""
+def _uids_compatible_factory(leven_thresh: int | None):
     from namematch_spark.functions.strings import levenshtein
 
     def uids_compatible(uids: set[str]) -> bool:
@@ -143,13 +138,37 @@ def _greedy_replay_factory(
                        for u in real[1:])
         return False
 
-    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        # edge rows sorted by the reference's order: gt desc, phat desc,
-        # then dr_id for a stable, deterministic tiebreak (W1)
-        pdf = pdf.sort_values(["gt", "phat", "dr_id"],
-                              ascending=[False, False, True])
+    return uids_compatible
+
+
+def _cogroup_replay_factory(leven_thresh: int | None, constraints,
+                            eid_col: str | None = None):
+    """Per-component greedy merge with the FULL constraints surface
+    (G3, ``cluster.py:650-713``): runs on cogrouped (edges, records)
+    for one component; ``apply_link_priority`` reorders the edges
+    (after the reference's base order gt desc, phat desc →
+    original_order, ``cluster.py:517-523``) and ``is_valid_cluster``
+    sees the member records as a pandas frame, like the reference."""
+    uids_compatible = _uids_compatible_factory(leven_thresh)
+
+    def replay(edges_pdf: pd.DataFrame,
+               recs_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(edges_pdf) == 0:
+            return pd.DataFrame(
+                {"record_id": recs_pdf["record_id"],
+                 "cluster_id": recs_pdf["record_id"]})
+        edges_pdf = edges_pdf.sort_values(
+            ["gt", "phat", "dr_id"], ascending=[False, False, True])
+        edges_pdf = edges_pdf.assign(
+            original_order=range(1, len(edges_pdf) + 1))
+        edges_pdf = constraints.apply_link_priority(edges_pdf)
+
+        recs = recs_pdf.set_index("record_id", drop=False)
+        uid_of = recs["uid"].to_dict() if "uid" in recs else {}
+        eid_of = (recs[eid_col].to_dict()
+                  if eid_col and eid_col in recs else {})
         parent: dict[str, str] = {}
-        uids: dict[str, set] = {}
+        members: dict[str, list[str]] = {}
 
         def find(x: str) -> str:
             root = x
@@ -159,36 +178,72 @@ def _greedy_replay_factory(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in pdf.itertuples(index=False):
-            # uid_1/uid_2 are the per-RECORD uids joined from all-names
-            # (the reference looks uids up in the all-names table,
-            # ``cluster.py:485-487`` — never from edge metadata), so
-            # accumulating across rows is safe for any edge source,
-            # including must-link edges.
-            for rid, uid in ((row.record_id_1, row.uid_1),
-                             (row.record_id_2, row.uid_2)):
-                s = uids.setdefault(rid, set())
-                if uid:
-                    s.add(uid)
+        for row in edges_pdf.itertuples(index=False):
+            for rid in (row.record_id_1, row.record_id_2):
+                members.setdefault(rid, [rid])
             r1, r2 = find(row.record_id_1), find(row.record_id_2)
             if r1 == r2:
                 continue
-            merged = uids.setdefault(r1, set()) | uids.setdefault(r2, set())
-            if not uids_compatible(merged):
+            merged = members[r1] + members[r2]
+            uids = {uid_of.get(r, "") for r in merged}
+            if not uids_compatible({u for u in uids if u}):
                 continue
+            # incremental auto constraint: at most one ExistingID per
+            # cluster (reference cluster.py:293-295)
+            if eid_of:
+                eids = {eid_of.get(r, "") for r in merged} - {""}
+                if len(eids) > 1:
+                    continue
             # gt edges bypass the *user* constraint (reference
-            # ``cluster.py``: ``edge_is_gt or is_valid_cluster(...)``);
-            # the auto uid check above always applies.
-            if (row.gt != 1 and is_valid_cluster is not None
-                    and not is_valid_cluster(merged)):
-                continue
+            # ``edge_is_gt or is_valid_cluster(...)``)
+            if row.gt != 1:
+                cluster_df = recs.loc[[r for r in merged
+                                       if r in recs.index]]
+                if not constraints.is_valid_cluster(cluster_df,
+                                                    row.phat):
+                    continue
             lo, hi = (r1, r2) if r1 < r2 else (r2, r1)
             parent[hi] = lo
-            uids[lo] = merged
-        out = [(rid, find(rid)) for rid in uids]
+            members[lo] = merged
+            del members[hi]
+        out = [(rid, find(rid)) for rid in
+               set(recs_pdf["record_id"]) | set(members)]
         return pd.DataFrame(out, columns=["record_id", "cluster_id"])
 
     return replay
+
+
+def apply_is_valid_link(edges: DataFrame, all_names: DataFrame,
+                        constraints, cols: list[str]) -> DataFrame:
+    """Distributed user edge veto (``default_constraints.py:5-23``):
+    enrich each potential edge with the constraint columns of both
+    records (the reference's J9 double join, ``cluster.py:485-487``)
+    and apply ``is_valid_link`` vectorized per Arrow batch."""
+    import numpy as np
+    side = all_names.select("record_id", *cols)
+    enriched = (
+        edges
+        .join(side.select(F.col("record_id").alias("record_id_1"),
+                          *[F.col(c).alias(f"{c}_1") for c in cols]),
+              "record_id_1")
+        .join(side.select(F.col("record_id").alias("record_id_2"),
+                          *[F.col(c).alias(f"{c}_2") for c in cols]),
+              "record_id_2")
+    )
+    fn = constraints.is_valid_link
+
+    def filt(batches):
+        for pdf in batches:
+            mask = fn(pdf)
+            if mask is True:
+                yield pdf
+            elif mask is False:
+                yield pdf.iloc[0:0]
+            else:
+                yield pdf[np.asarray(mask, dtype=bool)]
+
+    out_cols = edges.columns
+    return enriched.mapInPandas(filt, enriched.schema).select(*out_cols)
 
 
 def constrained_clusters(potential_edges: DataFrame,
@@ -196,25 +251,119 @@ def constrained_clusters(potential_edges: DataFrame,
                          all_names: DataFrame,
                          leven_thresh: int | None = None,
                          is_valid_cluster: Callable[[set[str]], bool] | None = None,
+                         constraints=None,
+                         eid_col: str | None = None,
                          max_component: int = 100_000) -> DataFrame:
     """G1-G5 — full constrained clustering.
 
-    ``potential_edges``: scored pairs with gt/phat/uid_1/uid_2 columns.
-    ``must_link_edges``: ground-truth pairs (gt=1, phat=1.0).
+    ``potential_edges``: scored pairs with dr_id/gt/phat columns.
+    ``must_link_edges``: ground-truth pairs (become gt=1, phat=1.0
+    edges, exempt from the edge filters — the reference seeds its
+    initial components from must-links unfiltered,
+    ``cluster.py:383-429``).
+
+    Constraint surface (reference ``cluster.py:30-83``): pass a
+    :class:`namematch_spark.constraints.Constraints` for the full
+    4-hook plug-in (``is_valid_link`` edge veto, reference-shaped
+    ``is_valid_cluster(cluster_df, phat)``, ``apply_link_priority``,
+    ``get_columns_used``); the legacy ``is_valid_cluster`` kwarg (a
+    set-of-uids predicate) is adapted onto that surface.  The auto uid
+    constraint (≤ 1 distinct uid per cluster, with ``leven_thresh``
+    tolerance) always applies, both as an up-front edge filter
+    (``auto_is_valid_edge``, ``cluster.py:208-270``) and inside the
+    replay.
+
+    Incremental mode (``eid_col``, reference ``cluster.py:140-144,
+    364-381``): records carrying an ExistingID are pre-linked into
+    their prior cluster (gt star edges per eid), edges between two
+    DIFFERENT known eids are invalid (``cluster.py:238``), at most one
+    eid survives per cluster (``cluster.py:293-295``), and clusters
+    containing an eid keep that id — so a month-2 run leaves month-1
+    cluster ids stable.
+
     Returns (record_id, cluster_id) covering every non-dropped record
     (singletons get their own id).
     """
-    edges = (
-        potential_edges
-        .select("dr_id", "record_id_1", "record_id_2", "gt", "phat")
-        .unionByName(
-            must_link_edges
-            .select(
-                F.concat_ws("__", "record_id_1", "record_id_2")
-                .alias("dr_id"),
-                "record_id_1", "record_id_2",
-                F.lit(1).alias("gt"), F.lit(1.0).alias("phat")))
+    from namematch_spark.constraints import Constraints
+    user_hooks = constraints is not None or is_valid_cluster is not None
+    if constraints is None:
+        if is_valid_cluster is not None:
+            legacy = is_valid_cluster
+            constraints = Constraints(
+                is_valid_cluster=lambda df, phat: legacy(
+                    set(df["uid"][df["uid"] != ""])),
+                get_columns_used=lambda: {"uid": "str"})
+        else:
+            constraints = Constraints(get_columns_used=lambda: {"uid": "str"})
+    cols = constraints.columns_used(all_names.columns)
+    if "uid" in all_names.columns and "uid" not in cols:
+        cols = ["uid"] + cols
+    if eid_col is not None and eid_col not in cols:
+        cols = cols + [eid_col]
+
+    pot = potential_edges.select(
+        "dr_id", "record_id_1", "record_id_2", "gt", "phat")
+    # auto_is_valid_edge (cluster.py:208-270): drop edges whose two
+    # records carry known, genuinely-different uids — BEFORE connected
+    # components, like the reference, so impossible merges don't glue
+    # components together.  gt edges are exempt (initial components).
+    rec_uid = all_names.select("record_id", "uid")
+    pot = (
+        pot
+        .join(rec_uid.select(F.col("record_id").alias("record_id_1"),
+                             F.col("uid").alias("__u1")), "record_id_1")
+        .join(rec_uid.select(F.col("record_id").alias("record_id_2"),
+                             F.col("uid").alias("__u2")), "record_id_2")
     )
+    conflict = (F.col("__u1") != "") & (F.col("__u2") != "") \
+        & (F.col("__u1") != F.col("__u2"))
+    if leven_thresh is not None:
+        conflict = conflict & (
+            F.levenshtein("__u1", "__u2") > leven_thresh)
+    pot = (pot.filter((F.col("gt") == 1) | ~conflict)
+           .drop("__u1", "__u2"))
+    eids = None
+    if eid_col is not None:
+        eids = all_names.filter(F.col(eid_col) != "").select(
+            "record_id", F.col(eid_col).alias("__eid"))
+        # edges between two different known ExistingIDs are invalid
+        # (reference cluster.py:238)
+        pot = (
+            pot
+            .join(eids.select(F.col("record_id").alias("record_id_1"),
+                              F.col("__eid").alias("__e1")),
+                  "record_id_1", "left")
+            .join(eids.select(F.col("record_id").alias("record_id_2"),
+                              F.col("__eid").alias("__e2")),
+                  "record_id_2", "left")
+            .filter((F.col("gt") == 1)
+                    | F.col("__e1").isNull() | F.col("__e2").isNull()
+                    | (F.col("__e1") == F.col("__e2")))
+            .drop("__e1", "__e2")
+        )
+        # seed: records sharing an eid are pre-linked (star per eid)
+        mins = eids.groupBy("__eid").agg(
+            F.min("record_id").alias("__min"))
+        eid_edges = (
+            eids.join(mins, "__eid")
+            .filter(F.col("record_id") != F.col("__min"))
+            .select(F.col("__min").alias("record_id_1"),
+                    F.col("record_id").alias("record_id_2")))
+        must_link_edges = must_link_edges.select(
+            "record_id_1", "record_id_2").unionByName(eid_edges)
+    # user edge veto (distributed, vectorized)
+    from namematch_spark.constraints import default_is_valid_link
+    if constraints.is_valid_link is not default_is_valid_link:
+        pot = apply_is_valid_link(pot, all_names, constraints, cols)
+
+    edges = pot.unionByName(
+        must_link_edges
+        .select(
+            F.concat_ws("__", "record_id_1", "record_id_2")
+            .alias("dr_id"),
+            "record_id_1", "record_id_2",
+            F.lit(1).alias("gt"), F.lit(1.0).alias("phat")))
+
     comp = connected_components(
         edges.select("record_id_1", "record_id_2"))
 
@@ -225,16 +374,28 @@ def constrained_clusters(potential_edges: DataFrame,
         .withColumnRenamed("cluster_id", "component_id"), "record_id_1")
 
     # triage: a component is "clean" when its records carry <= 1
-    # distinct non-empty uid — no constraint can fire; its CC result is
-    # final without replay.
-    uid_per_comp = (
-        comp.join(all_names.select("record_id", "uid"), "record_id")
-        .filter(F.col("uid") != "")
-        .groupBy("cluster_id")
-        .agg(F.countDistinct("uid").alias("n_uid"))
-    )
-    dirty_comps = uid_per_comp.filter(F.col("n_uid") > 1).select(
-        F.col("cluster_id").alias("component_id"))
+    # distinct non-empty uid — the AUTO constraint can't fire, so its
+    # CC result is final without replay.  With user hooks, every merge
+    # must face is_valid_cluster (reference applies it to each
+    # non-gt merge), so all components replay.
+    if user_hooks:
+        dirty_comps = edges_c.select("component_id").distinct()
+    else:
+        per_comp = (
+            comp.join(all_names.select("record_id", "uid", *(
+                [eid_col] if eid_col else [])), "record_id")
+            .groupBy("cluster_id")
+            .agg(F.countDistinct(F.when(F.col("uid") != "",
+                                        F.col("uid"))).alias("n_uid"),
+                 *([F.countDistinct(
+                     F.when(F.col(eid_col) != "", F.col(eid_col)))
+                     .alias("n_eid")] if eid_col else []))
+        )
+        dirty_cond = F.col("n_uid") > 1
+        if eid_col:
+            dirty_cond = dirty_cond | (F.col("n_eid") > 1)
+        dirty_comps = per_comp.filter(dirty_cond).select(
+            F.col("cluster_id").alias("component_id"))
 
     clean_assign = comp.join(
         dirty_comps.withColumnRenamed("component_id", "cluster_id"),
@@ -245,25 +406,26 @@ def constrained_clusters(potential_edges: DataFrame,
         F.count("*").alias("__n"))
     oversized = comp_sizes.filter(F.col("__n") > max_component)
 
-    # replay input: per-RECORD uids joined from all-names (reference
-    # ``cluster.py:485-487``) — edge metadata is NOT a reliable uid
-    # source (must-link edges carry none).  Only dirty edges pay the
-    # two joins, and the uid side is the record table projected to two
-    # columns.
-    rec_uid = all_names.select("record_id", "uid")
     dirty_edges = (
         edges_c.join(dirty_comps, "component_id", "left_semi")
-        .join(oversized.select("component_id"), "component_id", "left_anti")
-        .join(rec_uid.select(F.col("record_id").alias("record_id_1"),
-                             F.col("uid").alias("uid_1")), "record_id_1")
-        .join(rec_uid.select(F.col("record_id").alias("record_id_2"),
-                             F.col("uid").alias("uid_2")), "record_id_2")
+        .join(oversized.select("component_id"), "component_id",
+              "left_anti")
     )
-    replay = _greedy_replay_factory(leven_thresh, is_valid_cluster)
+    # records side of the cogroup: per-record constraint columns for
+    # every member of a replayed component (reference looks record
+    # attributes up in the all-names table, ``cluster.py:485-487``)
+    dirty_recs = (
+        comp.withColumnRenamed("cluster_id", "component_id")
+        .join(dirty_comps, "component_id", "left_semi")
+        .join(oversized.select("component_id"), "component_id",
+              "left_anti")
+        .join(all_names.select("record_id", *cols), "record_id")
+    )
+    replay = _cogroup_replay_factory(leven_thresh, constraints,
+                                     eid_col=eid_col)
     replayed = (
-        dirty_edges
-        .repartition("component_id")
-        .groupBy("component_id")
+        dirty_edges.groupBy("component_id")
+        .cogroup(dirty_recs.groupBy("component_id"))
         .applyInPandas(replay, "record_id string, cluster_id string")
         .select("record_id", "cluster_id")
     )
@@ -286,7 +448,19 @@ def constrained_clusters(potential_edges: DataFrame,
         .join(assigned, "record_id", "left_anti")
         .withColumn("cluster_id", F.col("record_id"))
     )
-    return assigned.unionByName(singles)
+    assigned = assigned.unionByName(singles)
+    if eids is not None:
+        # original cluster ids win (reference cluster.py:693-706):
+        # a cluster containing ExistingID records keeps that id
+        eid_map = (
+            assigned.join(eids, "record_id")
+            .groupBy("cluster_id").agg(F.min("__eid").alias("__eid")))
+        assigned = (
+            assigned.join(eid_map, "cluster_id", "left")
+            .withColumn("cluster_id",
+                        F.coalesce("__eid", "cluster_id"))
+            .drop("__eid"))
+    return assigned
 
 
 def clusters_to_pairs(assignment: DataFrame) -> DataFrame:

@@ -124,6 +124,94 @@ def train_match_model(data_rows: DataFrame,
                       feature_cols=feature_cols, eval_metrics=metrics)
 
 
+@dataclass
+class ModelSet:
+    """The reference's model registry (``fit_model.py:566-634``): a
+    ``basic`` match model plus, when a designated field can be missing,
+    a ``no_<field>`` *missingness* model trained WITHOUT that field's
+    features and applied to exactly the pairs where it is missing
+    (``utils/utils.py:414-453``), with its default threshold boosted
+    by +0.2 (``default_parameters.yaml:70``)."""
+    models: dict[str, MatchModel]
+    missing_field: str | None
+
+    @property
+    def basic(self) -> MatchModel:
+        return self.models["basic"]
+
+
+MISSINGNESS_THRESHOLD_BOOST = 0.2  # reference default_parameters.yaml:70
+
+
+def model_to_use_expr(missing_field: str | None):
+    """``model_to_use`` assignment (``utils/utils.py:437-453``): the
+    missingness model handles pairs where the field is missing."""
+    if missing_field is None:
+        return F.lit("basic")
+    return F.when(F.col(f"var_{missing_field}_missing") == 1,
+                  F.lit(f"no_{missing_field}")).otherwise(F.lit("basic"))
+
+
+def train_model_set(data_rows: DataFrame,
+                    feature_cols: list[str] | None = None,
+                    missing_field: str | None = "dob",
+                    num_trees: int = 100,
+                    beta: float = 0.5) -> ModelSet:
+    """M1 + M2 — train the basic model and (when ``missing_field``
+    features exist) the missingness model.  Same training universe for
+    both (the reference's explicit assumption, ``fit_model.py:583``);
+    the missingness model simply excludes ``var_<field>_*`` from its
+    feature vector and starts from a boosted default threshold."""
+    if feature_cols is None:
+        feature_cols = FEATURE_COLS
+    models = {"basic": train_match_model(
+        data_rows, feature_cols=feature_cols, num_trees=num_trees,
+        beta=beta)}
+    if missing_field is not None \
+            and f"var_{missing_field}_missing" in data_rows.columns:
+        excl = [c for c in feature_cols
+                if c.startswith(f"var_{missing_field}_")]
+        cols2 = [c for c in feature_cols if c not in excl]
+        models[f"no_{missing_field}"] = train_match_model(
+            data_rows, feature_cols=cols2, num_trees=num_trees,
+            beta=beta,
+            default_threshold=0.5 + MISSINGNESS_THRESHOLD_BOOST)
+    return ModelSet(models=models, missing_field=missing_field)
+
+
+def score_with_model_set(model_set: ModelSet,
+                         data_rows: DataFrame) -> DataFrame:
+    """M4 over the model registry: each pair is scored by its assigned
+    model (``predict.py:109-134``).  One distributed ``transform`` per
+    model over its own universe, unioned back with ``model_to_use``."""
+    tagged = data_rows.withColumn(
+        "model_to_use", model_to_use_expr(model_set.missing_field))
+    parts = []
+    for name, mm in model_set.models.items():
+        part = tagged.filter(F.col("model_to_use") == name)
+        parts.append(score_pairs(mm.model, part, mm.feature_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def potential_links_model_set(scored: DataFrame,
+                              model_set: ModelSet) -> DataFrame:
+    """M4/M6 with per-model thresholds (``predict.py:116-124``)."""
+    thr = F.lit(model_set.basic.threshold)
+    for name, mm in model_set.models.items():
+        if name != "basic":
+            thr = F.when(F.col("model_to_use") == name,
+                         F.lit(mm.threshold)).otherwise(thr)
+    return (
+        scored
+        .withColumn("gt", (F.col("label") == "1").cast("int"))
+        .filter((F.col("phat") >= thr) | (F.col("gt") == 1))
+        .withColumn("potential_edge", F.lit(1))
+    )
+
+
 def score_pairs(model: RandomForestClassificationModel,
                 data_rows: DataFrame,
                 feature_cols: list[str] | None = None) -> DataFrame:

@@ -22,9 +22,8 @@ from namematch_spark.checkpoint import CheckpointManager
 from namematch_spark.operators import blocking as B
 from namematch_spark.operators.cluster import (clusters_to_pairs,
                                                constrained_clusters)
-from namematch_spark.operators.model import (MatchModel, pairwise_eval,
-                                             potential_links, score_pairs,
-                                             train_match_model)
+from namematch_spark.operators.model import MatchModel, pairwise_eval
+from namematch_spark.operators.pairs import FEATURE_COLS
 from namematch_spark.operators.mustlinks import must_links
 from namematch_spark.operators.pairs import (expand_bs_to_record_pairs,
                                              pair_features)
@@ -41,7 +40,12 @@ class PipelineConfig:
     #: name-probability stage: count-percentile features + first/last
     #: swap repair (reference ``generate_data_rows.py:226-259``).
     name_prob: bool = True
+    #: legacy set-of-uids cluster veto (adapted onto the Constraints
+    #: surface) …
     is_valid_cluster: Callable[[set[str]], bool] | None = None
+    #: … or the full 4-hook reference plug-in
+    #: (:class:`namematch_spark.constraints.Constraints`).
+    constraints: object | None = None
     checkpoint_dir: str | None = None
     #: compute pairwise eval / pair-completeness / cluster counts.
     #: Off by default: the metrics block costs a cluster self-join plus
@@ -146,28 +150,53 @@ def run_pipeline(records: DataFrame,
 
     dr = stage("data_rows", _data_rows, ["all_names", "candidates"])
 
-    # ---- model: persisted + resumed alongside the data stages, so a
-    # resumed run scores with the SAME model/threshold that produced the
-    # checkpointed potential_links (reference pickles its models,
-    # ``fit_model.py:545-563``).
-    model = None
-    model_fp = _fp("match_model", fps["data_rows"], cfg.num_trees)
+    # ---- models: basic + missingness (M2), persisted + resumed
+    # alongside the data stages so a resumed run scores with the SAME
+    # models/thresholds that produced the checkpointed potential_links
+    # (reference pickles its models, ``fit_model.py:545-563``).
+    from namematch_spark.operators.model import (ModelSet,
+                                                 potential_links_model_set,
+                                                 score_with_model_set,
+                                                 train_model_set)
+    from namematch_spark.operators.pairs import PCTL_FEATURE_COLS
+    feature_cols = list(FEATURE_COLS)
+    if cfg.name_prob:
+        feature_cols += PCTL_FEATURE_COLS
+    missing_field = "dob"
+    model_names = ["basic", f"no_{missing_field}"]
+    model_fp = _fp("match_model", fps["data_rows"], cfg.num_trees,
+                   feature_cols, missing_field)
+
+    model_set = None
     if ckpt is not None:
         from pyspark.ml.classification import RandomForestClassificationModel
-        loaded, meta = ckpt.load_model(
-            "match_model", RandomForestClassificationModel.load, model_fp)
-        if loaded is not None:
-            model = MatchModel(model=loaded, threshold=meta["threshold"],
-                               feature_cols=meta["feature_cols"],
-                               eval_metrics=meta["eval_metrics"])
-    if model is None:
-        model = train_match_model(dr, num_trees=cfg.num_trees)
+        loaded = {}
+        for name in model_names:
+            m, meta = ckpt.load_model(
+                f"match_model_{name}",
+                RandomForestClassificationModel.load, model_fp)
+            if m is None:
+                loaded = None
+                break
+            loaded[name] = MatchModel(
+                model=m, threshold=meta["threshold"],
+                feature_cols=meta["feature_cols"],
+                eval_metrics=meta["eval_metrics"])
+        if loaded:
+            model_set = ModelSet(models=loaded,
+                                 missing_field=missing_field)
+    if model_set is None:
+        model_set = train_model_set(dr, feature_cols=feature_cols,
+                                    missing_field=missing_field,
+                                    num_trees=cfg.num_trees)
         if ckpt is not None:
-            ckpt.save_model(
-                "match_model", model.model,
-                {"threshold": model.threshold,
-                 "feature_cols": model.feature_cols,
-                 "eval_metrics": model.eval_metrics}, model_fp)
+            for name, mm in model_set.models.items():
+                ckpt.save_model(
+                    f"match_model_{name}", mm.model,
+                    {"threshold": mm.threshold,
+                     "feature_cols": mm.feature_cols,
+                     "eval_metrics": mm.eval_metrics}, model_fp)
+    model = model_set.basic
     fps["match_model"] = model_fp
 
     # must-link edges feeding clustering / completeness exclude dropped
@@ -177,17 +206,22 @@ def run_pipeline(records: DataFrame,
     ml_clean = ml.filter((F.col("drop_from_nm_1") == 0)
                          & (F.col("drop_from_nm_2") == 0))
 
-    pl = stage("potential_links", lambda: potential_links(
-        score_pairs(model.model, dr), model.threshold),
+    pl = stage("potential_links", lambda: potential_links_model_set(
+        score_with_model_set(model_set, dr), model_set),
         ["data_rows", "match_model"])
     clusters = stage("clusters", lambda: constrained_clusters(
         pl, ml_clean, an, leven_thresh=cfg.leven_thresh,
-        is_valid_cluster=cfg.is_valid_cluster),
+        is_valid_cluster=cfg.is_valid_cluster,
+        constraints=cfg.constraints),
         ["potential_links", "must_links"])
 
     metrics = {
         "model": model.eval_metrics,
         "threshold": model.threshold,
+        "models": {name: {"threshold": mm.threshold,
+                          "n_features": len(mm.feature_cols),
+                          **mm.eval_metrics}
+                   for name, mm in model_set.models.items()},
     }
     if cfg.evaluate:
         pred_pairs = clusters_to_pairs(clusters)

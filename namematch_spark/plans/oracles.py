@@ -507,6 +507,79 @@ FROM reach GROUP BY node
 """
 
 
+def er_output() -> str:
+    """Output stage over the deterministic must-link clustering: raw
+    values restored into the cleaned name columns
+    (``generate_output.py:104-116``), cluster ids left-joined (dropped
+    records keep NULL)."""
+    return f"""
+WITH RECURSIVE person AS ({PERSON}),
+{AN.strip()},
+{ML.strip()},
+edges AS (
+  SELECT record_id_1 AS src, record_id_2 AS dst FROM ml
+  UNION
+  SELECT record_id_2, record_id_1 FROM ml
+),
+nodes AS (SELECT DISTINCT record_id FROM an WHERE drop_from_nm = 0),
+reach(node, lbl) AS (
+  SELECT record_id, record_id FROM nodes
+  UNION
+  SELECT e.dst, r.lbl
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.lbl < e.dst
+),
+cc AS (SELECT node AS record_id, min(lbl) AS cluster_id
+       FROM reach GROUP BY node)
+SELECT an.record_id,
+       p.first_name, p.last_name,
+       an.dob, an.gender, an.age, an.uid,
+       an.blockstring, an.drop_from_nm,
+       cc.cluster_id
+FROM an
+JOIN person p ON p.record_id = an.record_id
+LEFT JOIN cc ON cc.record_id = an.record_id
+"""
+
+
+def er_incremental() -> str:
+    """Incremental clustering over the deterministic must-link graph:
+    records whose uid is divisible by 5 carry a prior cluster id
+    (``prev_<uid>``); clusters containing them keep that id
+    (reference cluster.py:140-144,364-381 id-stability semantics)."""
+    return f"""
+WITH RECURSIVE person AS ({PERSON}),
+{AN.strip()},
+{ML.strip()},
+edges AS (
+  SELECT record_id_1 AS src, record_id_2 AS dst FROM ml
+  WHERE drop_from_nm_1 = 0 AND drop_from_nm_2 = 0
+  UNION
+  SELECT record_id_2, record_id_1 FROM ml
+  WHERE drop_from_nm_1 = 0 AND drop_from_nm_2 = 0
+),
+nodes AS (SELECT DISTINCT record_id FROM an WHERE drop_from_nm = 0),
+reach(node, lbl) AS (
+  SELECT record_id, record_id FROM nodes
+  UNION
+  SELECT e.dst, r.lbl
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.lbl < e.dst
+),
+cc AS (SELECT node AS record_id, min(lbl) AS cluster_id
+       FROM reach GROUP BY node),
+eidmap AS (
+  SELECT cc.cluster_id, min('prev_' || an.uid) AS eid
+  FROM cc JOIN an ON an.record_id = cc.record_id
+  WHERE an.uid <> '' AND an.uid::BIGINT % 5 = 0
+  GROUP BY cc.cluster_id
+)
+SELECT cc.record_id,
+       coalesce(e.eid, cc.cluster_id) AS cluster_id
+FROM cc LEFT JOIN eidmap e ON e.cluster_id = cc.cluster_id
+"""
+
+
 def er_nameprob_features() -> str:
     """Name-probability features over the candidate record pairs: the
     six kept count-percentile features (``generate_data_rows.py:
@@ -791,6 +864,46 @@ SELECT record_id_1 || '__' || record_id_2 AS dr_id,
        WHEN levenshtein(uid_1, uid_2) <= 1 THEN ''
        ELSE '0' END AS label
 FROM rp
+"""
+
+
+# ---------------------------------------------------------------------------
+# web-pages graft oracles: the BASELINE input shape
+# (url, warc_ts, html, text, lang) — the oracle rebuilds the EXPECTED
+# extracted text independently from the person derivation, so a
+# hash-match here evidences the north-rule byte-identical-extraction
+# invariant cross-engine.
+# ---------------------------------------------------------------------------
+
+_WP_TEXT_SQL = """
+array_to_string(list_filter([
+    record_id,
+    trim(first_name || ' ' || last_name),
+    trim('DOB: ' || dob),
+    trim('Gender: ' || gender),
+    trim('Age: ' || age),
+    uid,
+    'junk & boilerplate'
+  ], x -> x <> ''), chr(10))
+"""
+
+
+def wp_extract() -> str:
+    return f"""
+WITH person AS ({PERSON})
+SELECT 'https://example.org/profile/' || record_id AS url,
+       {_WP_TEXT_SQL.strip()} AS text
+FROM person
+"""
+
+
+def wp_records() -> str:
+    """Round trip: pages → extraction → parsed records must recover the
+    original person fields exactly."""
+    return f"""
+WITH person AS ({PERSON})
+SELECT record_id, first_name, last_name, dob, gender, age, uid
+FROM person
 """
 
 

@@ -25,6 +25,16 @@ _ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables in this engine carry no hints — AQE converts
+    # shuffle joins to broadcast at runtime while the build side is
+    # genuinely small; 64m keeps the distinct-name dims on the
+    # broadcast path at bench scale without forcing it at 100 TB.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Prefer shuffled-hash over sort-merge: the blocking joins stream a
+    # large pair table against per-name dims — hashing the dim side
+    # per partition beats sorting the pair side twice, and unlike
+    # broadcast it has no serial driver-side build.
+    "spark.sql.join.preferSortMergeJoin": "false",
     # Arrow transfer for pandas UDFs / applyInPandas (the feature stage).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

@@ -61,9 +61,10 @@ def _case(expr: str, pool: list[str]) -> str:
 # Base (unperturbed) per-entity attributes, keyed on o_custkey.
 # Name realism at scale: 10% of entities ("hot", o_custkey % 10 = 0)
 # draw last names from the bare 23-name pool — these are the common-name
-# hot blocks the blocking layer must survive; the other 90% get a
-# deterministic 2-letter suffix (coprime modulus 97) for web-realistic
-# name diversity (19 x 23 x 97 ≈ 42k distinct names).
+# hot blocks the blocking layer must survive; the other 90% compose a
+# surname from two syllable pools (29 x 31 coprime moduli), which keeps
+# (fn, ln) unique per entity below custkey ~17k while shared syllables
+# preserve realistic cross-name shingle similarity for the LSH path.
 _BASE = f"""
 SELECT
   o_orderkey,

@@ -119,6 +119,87 @@ def test_gt_edge_bypasses_user_constraint(spark):
     assert res["C"] != res["A"]          # non-gt merge vetoed
 
 
+def test_constraints_is_valid_link(spark):
+    # user edge veto (reference default_constraints.py:5-23): reject
+    # edges whose two uids differ in parity; applied pre-CC, so the
+    # vetoed edge cannot even glue a component together
+    from namematch_spark.constraints import Constraints
+    an = _an(spark, [("A", "2", 0), ("B", "4", 0), ("C", "3", 0)])
+    edges = _edges(spark, [("A__B", "A", "B", "2", "4", 0, 0.99),
+                           ("B__C", "B", "C", "4", "3", 0, 0.98)])
+    cons = Constraints(
+        get_columns_used=lambda: {"uid": "str"},
+        is_valid_link=lambda df: (df["uid_1"].astype(int) % 2)
+        == (df["uid_2"].astype(int) % 2))
+    res = {r["record_id"]: r["cluster_id"]
+           for r in constrained_clusters(
+               edges, _ml_empty(spark), an, leven_thresh=3,
+               constraints=cons).collect()}
+    assert res["A"] == res["B"]          # same parity -> kept
+    assert res["C"] != res["B"]          # vetoed edge
+
+
+def test_constraints_link_priority_and_cluster_df(spark):
+    # apply_link_priority reverses the default order, so the LOWER-phat
+    # edge merges first and the uid constraint then blocks the other;
+    # is_valid_cluster receives the member records as a DataFrame
+    from namematch_spark.constraints import Constraints
+    an = _an(spark, [("A", "1", 0), ("B", "", 0), ("C", "2", 0)])
+    edges = _edges(spark, [("A__B", "A", "B", "1", "", 0, 0.95),
+                           ("B__C", "B", "C", "", "2", 0, 0.90)])
+    seen_sizes = []
+
+    def validate(cluster_df, phat):
+        seen_sizes.append(len(cluster_df))
+        return True
+
+    cons = Constraints(
+        get_columns_used=lambda: {"uid": "str"},
+        apply_link_priority=lambda df: df.sort_values(
+            ["phat", "original_order"], ascending=[True, True]),
+        is_valid_cluster=validate)
+    res = {r["record_id"]: r["cluster_id"]
+           for r in constrained_clusters(
+               edges, _ml_empty(spark), an,
+               constraints=cons).collect()}
+    assert res["B"] == res["C"]          # lower phat first under reversal
+    assert res["A"] != res["B"]          # then blocked by uid conflict
+
+
+def test_auto_edge_filter_truth_table(spark):
+    # reference edge-validity truth table (tests/unit/test_cluster.py:
+    # 36-67): both-uids-known-and-different edges are invalid unless
+    # within leven_thresh
+    an = _an(spark, [("A", "100", 0), ("B", "101", 0),
+                     ("C", "200", 0), ("D", "999", 0)])
+    edges = _edges(spark, [("A__B", "A", "B", "100", "101", 0, 0.9),
+                           ("C__D", "C", "D", "200", "999", 0, 0.9)])
+    res = {r["record_id"]: r["cluster_id"]
+           for r in constrained_clusters(
+               edges, _ml_empty(spark), an, leven_thresh=1).collect()}
+    assert res["A"] == res["B"]          # lev(100,101)=1 <= thresh
+    assert res["C"] != res["D"]          # lev(200,999)=3 -> invalid edge
+
+
+def test_incremental_existing_ids(spark):
+    # month-2 run seeded from month-1 cluster ids (reference
+    # cluster.py:140-144,364-381): records with an ExistingID keep it,
+    # new records join via edges, and two different prior clusters can
+    # never merge (one eid per cluster).
+    an = spark.createDataFrame(
+        [("A", "", 0, "cl1"), ("B", "", 0, "cl1"),
+         ("C", "", 0, ""), ("D", "", 0, "cl2")],
+        "record_id string, uid string, drop_from_nm int, eid string")
+    edges = _edges(spark, [("B__C", "B", "C", "", "", 0, 0.9),
+                           ("C__D", "C", "D", "", "", 0, 0.85)])
+    res = {r["record_id"]: r["cluster_id"]
+           for r in constrained_clusters(
+               edges, _ml_empty(spark), an, eid_col="eid").collect()}
+    assert res["A"] == res["B"] == "cl1"   # prior cluster id stable
+    assert res["C"] == "cl1"               # new record joins it
+    assert res["D"] == "cl2"               # two eids never merge
+
+
 def test_min_id_convention(spark):
     edges = spark.createDataFrame([("Z", "M"), ("M", "B")], EDGE_SCHEMA)
     res = {r["record_id"]: r["cluster_id"]

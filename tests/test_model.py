@@ -1,0 +1,77 @@
+"""Model registry semantics: basic + missingness model (M2), per-model
+routing and thresholds (reference ``fit_model.py:566-634``,
+``utils/utils.py:414-453``, ``tests/unit/test_fit_model.py:20-33``)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from namematch_spark.operators.model import (MISSINGNESS_THRESHOLD_BOOST,
+                                             model_to_use_expr,
+                                             potential_links_model_set,
+                                             score_with_model_set,
+                                             train_model_set)
+
+FEATS = ["var_first_name_edit_dist", "var_dob_missing",
+         "var_dob_edit_dist", "var_dob_day_diff", "var_age_num_diff"]
+
+
+@pytest.fixture(scope="module")
+def dr(spark):
+    # matches: tiny distances; non-matches: large; some rows miss dob
+    rows = []
+    for i in range(120):
+        match = i % 2 == 0
+        dob_missing = i % 5 == 0
+        rows.append((
+            f"p{i}", f"a{i}", f"b{i}",
+            0.0 if match else 6.0,                       # fn edit dist
+            1.0 if dob_missing else 0.0,
+            None if dob_missing else (0.0 if match else 4.0),
+            None if dob_missing else (0.0 if match else 900.0),
+            0.0 if match else 30.0,
+            "1" if match else "0",
+        ))
+    return spark.createDataFrame(
+        rows,
+        "dr_id string, record_id_1 string, record_id_2 string, "
+        "var_first_name_edit_dist double, var_dob_missing double, "
+        "var_dob_edit_dist double, var_dob_day_diff double, "
+        "var_age_num_diff double, label string").cache()
+
+
+def test_model_set_definition(dr):
+    # reference define_necessary_models: missing field -> 2 models,
+    # the missingness model excludes every var_<field>_* feature
+    ms = train_model_set(dr, feature_cols=FEATS, missing_field="dob",
+                         num_trees=5)
+    assert set(ms.models) == {"basic", "no_dob"}
+    assert all(not c.startswith("var_dob_")
+               for c in ms.models["no_dob"].feature_cols)
+    ms1 = train_model_set(dr, feature_cols=FEATS, missing_field=None,
+                          num_trees=5)
+    assert set(ms1.models) == {"basic"}
+
+
+def test_model_routing_and_scoring(dr):
+    ms = train_model_set(dr, feature_cols=FEATS, missing_field="dob",
+                         num_trees=5)
+    scored = score_with_model_set(ms, dr)
+    routed = {r["dr_id"]: r["model_to_use"] for r in scored.collect()}
+    assert routed["p0"] == "no_dob"      # i%5==0 -> dob missing
+    assert routed["p2"] == "basic"
+    # both universes scored, none dropped
+    assert len(routed) == 120
+    pl = potential_links_model_set(scored, ms)
+    got = {r["dr_id"] for r in pl.collect()}
+    # separable fixture: every match survives, no non-match does
+    assert got == {f"p{i}" for i in range(120) if i % 2 == 0}
+
+
+def test_model_to_use_expr(spark):
+    df = spark.createDataFrame([(1.0,), (0.0,)], "var_dob_missing double") \
+        .withColumn("m", model_to_use_expr("dob"))
+    vals = [r["m"] for r in df.collect()]
+    assert vals == ["no_dob", "basic"]
+    assert MISSINGNESS_THRESHOLD_BOOST == 0.2
