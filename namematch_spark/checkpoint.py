@@ -81,6 +81,37 @@ class CheckpointManager:
         self._save_manifest()
         return spark.read.parquet(final)
 
+    def append(self, stage: str, df: DataFrame,
+               fingerprint: str = "") -> DataFrame:
+        """S4 — streaming-style append (the reference's per-batch
+        ``ParquetWriter`` pattern, ``process_input_data.py:107-121``):
+        new part files land in the stage directory via Spark's atomic
+        job commit; the manifest entry accumulates per-batch lineage.
+        """
+        final = self.stage_path(stage)
+        df.write.mode("append").parquet(final)
+        spark = df.sparkSession
+        back = spark.read.parquet(final)
+        part_counts = (
+            back.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count("*").alias("rows"))
+            .collect())
+        entry = self.manifest.get(stage, {"batches": 0})
+        entry.update({
+            "rows": int(sum(r["rows"] for r in part_counts)),
+            "partitions": [
+                {"file": os.path.basename(r["file"]),
+                 "rows": int(r["rows"])} for r in part_counts],
+            "schema": back.schema.simpleString(),
+            "fingerprint": fingerprint,
+            "batches": entry.get("batches", 0) + 1,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime()),
+        })
+        self.manifest[stage] = entry
+        self._save_manifest()
+        return back
+
     def load_or_compute(self, spark: SparkSession, stage: str,
                         compute, fingerprint: str = "") -> DataFrame:
         """Resume semantics: reuse a committed stage when its inputs are

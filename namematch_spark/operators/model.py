@@ -239,6 +239,59 @@ def potential_links(scored: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def flipped0_links(scored: DataFrame, threshold: float) -> DataFrame:
+    """M6 — labeled-0 pairs the model scores ABOVE threshold
+    (``fit_model.py:724-760``): evidence of uid noise or true matches
+    mislabeled by the ground truth.  The reference writes these to
+    ``flipped0_potential_links.csv`` and only admits them as edges when
+    ``allow_clusters_w_multiple_unique_ids`` — here they are surfaced
+    for reporting; the clustering's auto uid constraint excludes them
+    from merges regardless."""
+    return scored.filter((F.col("label") == "0")
+                         & (F.col("phat") >= threshold))
+
+
+def train_selection_model(data_rows: DataFrame,
+                          feature_cols: list[str] | None = None,
+                          num_trees: int = 50,
+                          max_train_n: int = 1_000_000) -> "MatchModel":
+    """M3 — selection model (reference ``fit_model.py:167-194``,
+    OFF by default like ``default_parameters.yaml:66``): an RF
+    predicting whether a pair is LABELED, whose probability feeds the
+    selection-bias weight ``(p_selected + 1) / (phat + 1)``
+    (``predict.py:229-233``) — labeled pairs are not a random sample of
+    all pairs, and the weight de-biases the match score."""
+    if feature_cols is None:
+        feature_cols = FEATURE_COLS
+    df = data_rows.withColumn(
+        "y", (F.col("label") != "").cast("double"))
+    n = df.count()
+    if n > max_train_n:
+        df = df.sample(max_train_n / n, seed=SEED)
+    assembled = _assemble(df, feature_cols)
+    rf = RandomForestClassifier(
+        featuresCol="features", labelCol="y", numTrees=num_trees,
+        minInstancesPerNode=25, maxDepth=10, seed=SEED)
+    model = rf.fit(assembled)
+    return MatchModel(model=model, threshold=0.5,
+                      feature_cols=feature_cols, eval_metrics={})
+
+
+def apply_selection_weight(scored: DataFrame,
+                           selection_model: "MatchModel") -> DataFrame:
+    """Weight application (``predict.py:229-233``): adds
+    ``p_selected`` and ``weighted_phat = phat * (p_selected + 1) /
+    (phat + 1)``-style correction — kept exactly as the reference's
+    ``(prob_selected + 1) / (phat + 1)`` multiplier."""
+    sel = score_pairs(selection_model.model, scored.drop("phat"),
+                      selection_model.feature_cols) \
+        .withColumnRenamed("phat", "p_selected")
+    sel = sel.join(scored.select("dr_id", "phat"), "dr_id")
+    return sel.withColumn(
+        "weighted_phat",
+        F.col("phat") * (F.col("p_selected") + 1) / (F.col("phat") + 1))
+
+
 def pairwise_eval(predicted_pairs: DataFrame, data_rows: DataFrame,
                   beta: float = 1.0) -> dict:
     """Pairwise precision/recall/F1 over *labeled* pairs (the graft's

@@ -1,0 +1,92 @@
+"""Stage 9 — run report (reference: ``generate_report.py:34-55``).
+
+The reference renders a papermill notebook to HTML; the Spark-native
+equivalent is a markdown + JSON report of the same content: per-stage
+row counts, blocking pair-completeness, model metrics per model,
+threshold(s), phat histogram, cluster-size distribution — everything
+the reference's ``nm_info.yaml`` + report notebook surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def phat_histogram(scored: DataFrame, bins: int = 10) -> list[dict]:
+    """A10 — phat distribution in 1/bins buckets
+    (``model_evaluation_functions.py:279-287``)."""
+    rows = (
+        scored
+        .withColumn("__b", F.floor(F.col("phat") * bins) / bins)
+        .groupBy("__b").agg(F.count("*").alias("n"))
+        .orderBy("__b").collect())
+    total = sum(r["n"] for r in rows) or 1
+    return [{"bucket": float(r["__b"]), "n": int(r["n"]),
+             "share": round(r["n"] / total, 4)} for r in rows]
+
+
+def cluster_size_distribution(clusters: DataFrame) -> list[dict]:
+    rows = (
+        clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+        .groupBy("sz").agg(F.count("*").alias("n_clusters"))
+        .orderBy("sz").collect())
+    return [{"size": int(r["sz"]), "n_clusters": int(r["n_clusters"])}
+            for r in rows]
+
+
+def generate_report(result, out_dir: str) -> str:
+    """Write ``matching_report.md`` + ``nm_info.json`` for a
+    :class:`~namematch_spark.pipeline.PipelineResult` (the reference's
+    ``matching_report.html`` + ``nm_info.yaml`` pair,
+    ``generate_report.py:34-55``, ``base.py:203-209``).
+
+    Returns the markdown path.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    metrics = dict(result.metrics)
+    counts = {
+        "all_names": result.all_names.count(),
+        "must_links": result.must_links.count(),
+        "candidate_blockstring_pairs": result.candidate_nn_pairs.count(),
+        "data_rows": result.data_rows.count(),
+        "potential_links": result.potential_links.count(),
+        "clusters": result.clusters.select("cluster_id")
+        .distinct().count(),
+    }
+    hist = phat_histogram(result.potential_links)
+    sizes = cluster_size_distribution(result.clusters)
+
+    info = {"counts": counts, "metrics": metrics,
+            "phat_histogram": hist, "cluster_sizes": sizes}
+    with open(os.path.join(out_dir, "nm_info.json"), "w") as f:
+        json.dump(info, f, indent=1, default=str)
+
+    lines = ["# Matching report", "", "## Stage row counts", ""]
+    lines += [f"- {k}: {v:,}" for k, v in counts.items()]
+    lines += ["", "## Model(s)", ""]
+    for name, m in metrics.get("models", {}).items():
+        lines.append(f"- **{name}**: threshold {m.get('threshold')}, "
+                     f"{m.get('n_features')} features, "
+                     f"precision {m.get('precision')}, "
+                     f"recall {m.get('recall')}")
+    if "pairwise" in metrics:
+        pw = metrics["pairwise"]
+        lines += ["", "## Pairwise evaluation (labeled pairs)", "",
+                  f"- precision {pw['precision']:.4f}, "
+                  f"recall {pw['recall']:.4f}, F1 {pw['f1']:.4f}"]
+    if "pair_completeness" in metrics:
+        lines += ["", f"Blocking pair completeness: "
+                  f"{metrics['pair_completeness']:.4f}"]
+    lines += ["", "## phat distribution (potential links)", ""]
+    lines += [f"- [{h['bucket']:.1f}, +0.1): {h['n']:,} ({h['share']})"
+              for h in hist]
+    lines += ["", "## Cluster size distribution", ""]
+    lines += [f"- size {s['size']}: {s['n_clusters']:,}" for s in sizes]
+    path = os.path.join(out_dir, "matching_report.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path

@@ -83,9 +83,36 @@ pen AS (
 )
 """
 
-# deterministic phonetic block key (consonant skeleton of last-name
-# first token + first initial) — mirrors blocking.det_block_key
-DETKEY = """
+# split-last-name variants (mirrors blocking.name_variants): names
+# whose last name contains a space also block under each piece of the
+# last-space split; pairs map back to FULL names
+VARIANTS = """
+variants AS MATERIALIZED (
+  SELECT nn_string, nn_string AS full_nn FROM nn
+  UNION
+  SELECT fn || ' ' || unnest([p1, p2]) AS nn_string, full_nn
+  FROM (
+    SELECT nn_string AS full_nn,
+           string_split(nn_string, ' ')[1] AS fn,
+           substr(ln, 1,
+                  length(ln)
+                  - length(regexp_extract(ln, '([^ ]+)$', 1)) - 1) AS p1,
+           regexp_extract(ln, '([^ ]+)$', 1) AS p2
+    FROM (SELECT nn_string,
+                 substr(nn_string, instr(nn_string, ' ') + 1) AS ln
+          FROM nn WHERE instr(nn_string, ' ') > 0)
+    WHERE instr(ln, ' ') > 0
+  )
+),
+vnames AS (SELECT DISTINCT nn_string FROM variants)
+"""
+
+
+def detkey_cte(source: str = "nn") -> str:
+    """Deterministic phonetic block key (consonant skeleton of
+    last-name first token + first initial) — mirrors
+    blocking.det_block_key."""
+    return f"""
 detkey AS (
   SELECT nn_string,
          substr(nn_string, 1, 1) || '|' ||
@@ -93,20 +120,45 @@ detkey AS (
             coalesce(string_split(nn_string, ' ')[2],
                      string_split(nn_string, ' ')[1]),
             '[AEIOUY]', '', 'g') AS bk
-  FROM nn
+  FROM {source}
 )
 """
 
+
+DETKEY = detkey_cte("nn")
+
 DET_PAIRS = """
+detsz AS (SELECT bk, count(*) AS n FROM detkey GROUP BY bk),
 det_pairs AS (
   SELECT l.nn_string AS nn_string_1, r.nn_string AS nn_string_2
-  FROM detkey l JOIN detkey r ON l.bk = r.bk
+  FROM detkey l
+  JOIN detsz z ON z.bk = l.bk AND z.n > 1 AND z.n <= 500
+  JOIN detkey r ON l.bk = r.bk
+  WHERE l.nn_string < r.nn_string
+)
+"""
+
+# variant-relabeled det pairs: block keys computed per variant string,
+# keyed rows relabeled to FULL names before the pair join (mirrors
+# blocking.det_candidates(variants=...))
+DET_PAIRS_RELABELED = """
+detsz AS (SELECT bk, count(*) AS n FROM detkey GROUP BY bk),
+detkeyf AS (
+  SELECT v.full_nn AS nn_string, k.bk
+  FROM detkey k
+  JOIN detsz z ON z.bk = k.bk AND z.n > 1 AND z.n <= 500
+  JOIN variants v ON v.nn_string = k.nn_string
+),
+det_pairs AS (
+  SELECT l.nn_string AS nn_string_1, r.nn_string AS nn_string_2
+  FROM detkeyf l JOIN detkeyf r ON l.bk = r.bk
   WHERE l.nn_string < r.nn_string
 )
 """
 
 
-def lsh_pairs_cte(num_hashes: int = 24, rows_per_band: int = 4) -> str:
+def lsh_pairs_cte(num_hashes: int = 24, rows_per_band: int = 4,
+                  source: str = "nn", relabel: bool = False) -> str:
     """Name-shingle minhash LSH candidate pairs, mirroring
     ``blocking.lsh_candidates`` exactly (band key = '_'-joined minhash
     values of the band, same as Spark's concat_ws over the slice)."""
@@ -128,7 +180,7 @@ sh AS (
   SELECT DISTINCT nn_string, substr(p, i, 2) AS s
   FROM (SELECT nn_string, '*' || nn_string || '*' AS p,
                unnest(generate_series(1, length(nn_string) + 1)) AS i
-        FROM nn)
+        FROM {source})
 ),
 hs AS (
   SELECT nn_string,
@@ -143,9 +195,21 @@ sig AS (
 bands AS (
 {bands_union}
 ),
-lsh_pairs AS (
+bsz AS (SELECT band, bkey, count(*) AS n FROM bands GROUP BY band, bkey),
+bandsg AS (
+  SELECT b.nn_string, b.band, b.bkey
+  FROM bands b JOIN bsz z ON z.band = b.band AND z.bkey = b.bkey
+  WHERE z.n > 1 AND z.n <= 2000
+),{'''
+bandsf AS (
+  SELECT v.full_nn AS nn_string, b.band, b.bkey
+  FROM bandsg b JOIN variants v ON v.nn_string = b.nn_string
+),''' if relabel else ''}
+lsh_pairs AS MATERIALIZED (
   SELECT DISTINCT l.nn_string AS nn_string_1, r.nn_string AS nn_string_2
-  FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey
+  FROM {'bandsf' if relabel else 'bandsg'} l
+  JOIN {'bandsf' if relabel else 'bandsg'} r
+    ON l.band = r.band AND l.bkey = r.bkey
   WHERE l.nn_string < r.nn_string
 )
 """
@@ -176,12 +240,12 @@ lnsh AS (
                unnest(generate_series(1, length(ln) + 1)) AS i
         FROM nnparts WHERE ln <> '')
 ),
-vec AS (
+vec AS MATERIALIZED (
   SELECT nn_string, sh, sum(w) AS w
   FROM (SELECT * FROM fnsh UNION ALL SELECT * FROM lnsh)
   GROUP BY nn_string, sh
 ),
-vnorm AS (
+vnorm AS MATERIALIZED (
   SELECT nn_string, sum(w * w) AS n2 FROM vec GROUP BY nn_string
 )
 """
@@ -236,10 +300,11 @@ def candidates_cte(num_hashes: int = 24, cos_bar: float = 0.4,
 {AN.strip()},
 {NN.strip()},
 {PEN.strip()},
-{DETKEY.strip()},
-{DET_PAIRS.strip()},
-{lsh_pairs_cte(num_hashes).strip()},
-cand AS (
+{VARIANTS.strip()},
+{detkey_cte("vnames").strip()},
+{DET_PAIRS_RELABELED.strip()},
+{lsh_pairs_cte(num_hashes, source="vnames", relabel=True).strip()},
+cand AS MATERIALIZED (
   SELECT nn_string_1, nn_string_2, max(det_block) AS det_block
   FROM (
     SELECT nn_string_1, nn_string_2, 0 AS det_block FROM lsh_pairs
@@ -276,10 +341,11 @@ def bs_candidates_cte(num_hashes: int = 24, an_cte: str | None = None
 {(an_cte or AN).strip()},
 {NN.strip()},
 {PEN.strip()},
-{DETKEY.strip()},
-{DET_PAIRS.strip()},
-{lsh_pairs_cte(num_hashes).strip()},
-cand AS (
+{VARIANTS.strip()},
+{detkey_cte("vnames").strip()},
+{DET_PAIRS_RELABELED.strip()},
+{lsh_pairs_cte(num_hashes, source="vnames", relabel=True).strip()},
+cand AS MATERIALIZED (
   SELECT nn_string_1, nn_string_2, max(det_block) AS det_block
   FROM (
     SELECT nn_string_1, nn_string_2, 0 AS det_block FROM lsh_pairs
@@ -290,10 +356,10 @@ cand AS (
 {VEC.strip()},
 {COS.strip()},
 {NAMED.strip()},
-named_pruned AS (
+named_pruned AS MATERIALIZED (
   SELECT * FROM named WHERE cos_dist + penalty <= 0.55
 ),
-bst AS (
+bst AS MATERIALIZED (
   SELECT nn_string, dob, count(*) AS n_rec,
          list_sort(list_distinct(list(try_cast(age AS DOUBLE))
                                  FILTER (WHERE age <> ''))) AS ages,

@@ -30,6 +30,10 @@ _ENGINE_CONF: dict[str, str] = {
     # genuinely small; 64m keeps the distinct-name dims on the
     # broadcast path at bench scale without forcing it at 100 TB.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # batch engine: a broadcast build may sit behind a long upstream
+    # computation; the 300 s default kills legitimate low-parallelism
+    # runs (observed at local[2])
+    "spark.sql.broadcastTimeout": "1800",
     # Prefer shuffled-hash over sort-merge: the blocking joins stream a
     # large pair table against per-name dims — hashing the dim side
     # per partition beats sorting the pair side twice, and unlike

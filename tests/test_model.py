@@ -69,6 +69,29 @@ def test_model_routing_and_scoring(dr):
     assert got == {f"p{i}" for i in range(120) if i % 2 == 0}
 
 
+def test_flipped0_and_selection_model(dr):
+    from namematch_spark.operators.model import (apply_selection_weight,
+                                                 flipped0_links,
+                                                 train_selection_model)
+    ms = train_model_set(dr, feature_cols=FEATS, missing_field=None,
+                         num_trees=5)
+    scored = score_with_model_set(ms, dr)
+    # fixture is separable: no labeled-0 scores above threshold
+    assert flipped0_links(scored, ms.basic.threshold).count() == 0
+    # a labeled 0 with match-like features WOULD be flipped
+    flipped = flipped0_links(scored.withColumn(
+        "label", F.lit("0")), 0.0)
+    assert flipped.count() == scored.count()
+
+    sel = train_selection_model(dr, feature_cols=FEATS, num_trees=5)
+    weighted = apply_selection_weight(scored, sel)
+    row = weighted.select("dr_id", "p_selected", "phat",
+                          "weighted_phat").first()
+    assert 0.0 <= row["p_selected"] <= 1.0
+    expected = row["phat"] * (row["p_selected"] + 1) / (row["phat"] + 1)
+    assert abs(row["weighted_phat"] - expected) < 1e-12
+
+
 def test_model_to_use_expr(spark):
     df = spark.createDataFrame([(1.0,), (0.0,)], "var_dob_missing double") \
         .withColumn("m", model_to_use_expr("dob"))

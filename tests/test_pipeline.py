@@ -39,6 +39,34 @@ def test_every_record_assigned(result, all_names):
     assert result.clusters.filter(F.col("cluster_id").isNull()).count() == 0
 
 
+def test_output_and_report(result, tmp_path):
+    from namematch_spark.operators.output import all_names_with_clusterid
+    from namematch_spark.operators.report import generate_report
+    out = all_names_with_clusterid(result.all_names, result.clusters)
+    assert "cluster_id" in out.columns
+    assert not [c for c in out.columns if c.startswith("tmp_raw__")]
+    # raw values restored: some last names regain their hyphen
+    assert out.filter(F.col("last_name").contains("-")).count() > 0
+    path = generate_report(result, str(tmp_path / "report"))
+    text = open(path).read()
+    assert "Matching report" in text and "Cluster size" in text
+    import json
+    info = json.load(open(str(tmp_path / "report" / "nm_info.json")))
+    assert info["counts"]["clusters"] > 0
+
+
+def test_checkpoint_append(spark, tmp_path):
+    from namematch_spark.checkpoint import CheckpointManager
+    ck = CheckpointManager(str(tmp_path / "cka"))
+    b1 = spark.range(10).withColumn("v", F.col("id"))
+    b2 = spark.range(10, 25).withColumn("v", F.col("id"))
+    assert ck.append("stream_stage", b1).count() == 10
+    out = ck.append("stream_stage", b2)
+    assert out.count() == 25
+    assert ck.manifest["stream_stage"]["rows"] == 25
+    assert ck.manifest["stream_stage"]["batches"] == 2
+
+
 def test_checkpoint_resume(spark, tmp_path):
     from namematch_spark.checkpoint import CheckpointManager
     ck = CheckpointManager(str(tmp_path / "ck"))
