@@ -103,8 +103,25 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         sig = (sig_row["n"], sig_row["h"])
         e = new_e
         if sig == prev_sig:
-            break
+            # The signature is probabilistic (collision ~1e-9/round);
+            # confirm the fixed point with ONE sound check: at
+            # convergence the edge set is a star forest, i.e. no edge's
+            # src is another edge's dst.  Single semi-join, run once.
+            if e.join(e.select(F.col("dst").alias("src")),
+                      "src", "semi").limit(1).count() == 0:
+                converged = True
+                break
+            # collision — edge sets differed despite equal signatures;
+            # keep iterating
         prev_sig = sig
+    else:
+        converged = e.join(e.select(F.col("dst").alias("src")),
+                           "src", "semi").limit(1).count() == 0
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds — component diameter exceeds 2^max_iter or the "
+            "edge input is pathological; raise max_iter")
 
     assign = (
         e.select(F.col("dst").alias("record_id"),
@@ -123,12 +140,17 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     return assign
 
 
-def _uids_compatible_factory(leven_thresh: int | None):
+def _uids_compatible_factory(leven_thresh: int | None,
+                             allow_multiple_uids: bool = False):
     from namematch_spark.functions.strings import levenshtein
 
     def uids_compatible(uids: set[str]) -> bool:
         # auto_is_valid_cluster (cluster.py:272-324): <= 1 distinct uid,
-        # tolerating near-identical uids when leven_thresh is set
+        # tolerating near-identical uids when leven_thresh is set;
+        # allow_clusters_w_multiple_unique_ids disables the check
+        # entirely (reference cluster.py:299-300)
+        if allow_multiple_uids:
+            return True
         real = sorted(u for u in uids if u)
         if len(real) <= 1:
             return True
@@ -142,14 +164,16 @@ def _uids_compatible_factory(leven_thresh: int | None):
 
 
 def _cogroup_replay_factory(leven_thresh: int | None, constraints,
-                            eid_col: str | None = None):
+                            eid_col: str | None = None,
+                            allow_multiple_uids: bool = False):
     """Per-component greedy merge with the FULL constraints surface
     (G3, ``cluster.py:650-713``): runs on cogrouped (edges, records)
     for one component; ``apply_link_priority`` reorders the edges
     (after the reference's base order gt desc, phat desc →
     original_order, ``cluster.py:517-523``) and ``is_valid_cluster``
     sees the member records as a pandas frame, like the reference."""
-    uids_compatible = _uids_compatible_factory(leven_thresh)
+    uids_compatible = _uids_compatible_factory(leven_thresh,
+                                               allow_multiple_uids)
 
     def replay(edges_pdf: pd.DataFrame,
                recs_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -253,7 +277,8 @@ def constrained_clusters(potential_edges: DataFrame,
                          is_valid_cluster: Callable[[set[str]], bool] | None = None,
                          constraints=None,
                          eid_col: str | None = None,
-                         max_component: int = 100_000) -> DataFrame:
+                         max_component: int = 100_000,
+                         allow_multiple_uids: bool = False) -> DataFrame:
     """G1-G5 — full constrained clustering.
 
     ``potential_edges``: scored pairs with dr_id/gt/phat columns.
@@ -320,8 +345,14 @@ def constrained_clusters(potential_edges: DataFrame,
     if leven_thresh is not None:
         conflict = conflict & (
             F.levenshtein("__u1", "__u2") > leven_thresh)
-    pot = (pot.filter((F.col("gt") == 1) | ~conflict)
-           .drop("__u1", "__u2"))
+    if allow_multiple_uids:
+        # allow_clusters_w_multiple_unique_ids: the automated uid veto
+        # is off (reference cluster.py:242-245) — flipped-0 edges
+        # (labeled 0, scored above threshold) are admissible
+        pot = pot.drop("__u1", "__u2")
+    else:
+        pot = (pot.filter((F.col("gt") == 1) | ~conflict)
+               .drop("__u1", "__u2"))
     eids = None
     if eid_col is not None:
         eids = all_names.filter(F.col(eid_col) != "").select(
@@ -392,6 +423,10 @@ def constrained_clusters(potential_edges: DataFrame,
                      .alias("n_eid")] if eid_col else []))
         )
         dirty_cond = F.col("n_uid") > 1
+        if allow_multiple_uids:
+            # uid multiplicity is permitted — only eid conflicts (or
+            # user hooks, handled above) force a replay
+            dirty_cond = F.lit(False)
         if eid_col:
             dirty_cond = dirty_cond | (F.col("n_eid") > 1)
         dirty_comps = per_comp.filter(dirty_cond).select(
@@ -422,7 +457,8 @@ def constrained_clusters(potential_edges: DataFrame,
         .join(all_names.select("record_id", *cols), "record_id")
     )
     replay = _cogroup_replay_factory(leven_thresh, constraints,
-                                     eid_col=eid_col)
+                                     eid_col=eid_col,
+                                     allow_multiple_uids=allow_multiple_uids)
     replayed = (
         dirty_edges.groupBy("component_id")
         .cogroup(dirty_recs.groupBy("component_id"))

@@ -176,6 +176,12 @@ def train_model_set(data_rows: DataFrame,
             data_rows, feature_cols=cols2, num_trees=num_trees,
             beta=beta,
             default_threshold=0.5 + MISSINGNESS_THRESHOLD_BOOST)
+    else:
+        # No missingness model trained: route everything to "basic".
+        # Keeping a missing_field here would make score_with_model_set
+        # reference var_<field>_missing (AnalysisException if absent,
+        # silently-dropped rows if present without a model).
+        missing_field = None
     return ModelSet(models=models, missing_field=missing_field)
 
 
@@ -278,18 +284,25 @@ def train_selection_model(data_rows: DataFrame,
 
 
 def apply_selection_weight(scored: DataFrame,
-                           selection_model: "MatchModel") -> DataFrame:
+                           selection_model: "MatchModel",
+                           prob_match_train: float) -> DataFrame:
     """Weight application (``predict.py:229-233``): adds
-    ``p_selected`` and ``weighted_phat = phat * (p_selected + 1) /
-    (phat + 1)``-style correction — kept exactly as the reference's
-    ``(prob_selected + 1) / (phat + 1)`` multiplier."""
+    ``p_selected`` (the selection model's probability that a pair is
+    labeled) and ``selection_weight = (P(s) + 1) / (p_selected + 1)``
+    — P(s)/P(s=1|x) with +1 smoothing, where ``prob_match_train`` is
+    the scalar share of rows eligible for match training
+    (``fit_model.py:424-426``).  The weight DOWN-weights
+    over-represented (easily-labeled) pairs and is consumed as a
+    *training sample weight* when refitting the match model, exactly
+    like the reference — it does not rescale phat."""
     sel = score_pairs(selection_model.model, scored.drop("phat"),
                       selection_model.feature_cols) \
         .withColumnRenamed("phat", "p_selected")
     sel = sel.join(scored.select("dr_id", "phat"), "dr_id")
     return sel.withColumn(
-        "weighted_phat",
-        F.col("phat") * (F.col("p_selected") + 1) / (F.col("phat") + 1))
+        "selection_weight",
+        (F.lit(float(prob_match_train)) + 1)
+        / (F.col("p_selected") + 1))
 
 
 def pairwise_eval(predicted_pairs: DataFrame, data_rows: DataFrame,

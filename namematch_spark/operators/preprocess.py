@@ -23,18 +23,24 @@ _NAME_SUFFIXES = ["JR", "SR", "III", "II", "IV"]
 BLOCKSTRING_SEP = "::"
 
 
-def clean_name(col: Column) -> Column:
-    """P14 — canonical name cleaning, as chained native expressions.
+def clean_name(col: Column, last_name: bool = False) -> Column:
+    """P9 + P14 — canonical name cleaning, as chained native expressions.
 
     Reference ``clean_nn_string`` (``utils/utils.py:199-224``): uppercase,
-    strip generational suffixes, drop non-``[A-Z ]`` characters (hyphens
-    become spaces first, per P9 ``process_input_data.py:397-400``),
-    collapse runs of spaces, trim.
+    strip generational suffixes (``\\bJR\\b`` etc. ANYWHERE in the
+    string, not just at the end), drop non-``[A-Z ]`` characters
+    (hyphens become spaces first, per P9
+    ``process_input_data.py:397-400``), collapse runs of spaces, trim.
+    With ``last_name=True`` the P9 last-name-column rule ``"MC " →
+    "MC"`` (``process_input_data.py:398``) is applied first, before the
+    hyphen replacement — matching the reference's order.
     """
     c = F.upper(F.trim(col))
+    if last_name:
+        c = F.regexp_replace(c, r"MC ", "MC")
     c = F.regexp_replace(c, r"-", " ")
     for suf in _NAME_SUFFIXES:
-        c = F.regexp_replace(c, rf"\b{suf}$", "")
+        c = F.regexp_replace(c, rf"\b{suf}\b", "")
     c = F.regexp_replace(c, r"[^A-Z ]", "")
     c = F.regexp_replace(c, r" +", " ")
     return F.trim(c)
@@ -123,7 +129,8 @@ def preprocess(records: DataFrame,
         .withColumn("tmp_raw__first_name", F.col("first_name"))
         .withColumn("tmp_raw__last_name", F.col("last_name"))
         .withColumn("first_name", clean_name(F.col("first_name")))
-        .withColumn("last_name", clean_name(F.col("last_name")))
+        .withColumn("last_name", clean_name(F.col("last_name"),
+                                            last_name=True))
         .withColumn("dob", check_date(F.col("dob")))
         .withColumn("gender", check_categorical(
             F.upper(F.trim(F.col("gender"))), list(gender_options)))

@@ -842,8 +842,9 @@ def er_blockstats_ft() -> str:
 WITH person AS ({person_records_ext_oracle_cte("orders")}),
 {_cfg_an_cte().strip()}
 SELECT nn_string,
-       sum(CASE WHEN file_type = 'new' THEN 1 ELSE 0 END) AS n_new,
-       sum(CASE WHEN file_type = 'existing' THEN 1 ELSE 0 END)
+       sum(CASE WHEN file_type = 'new' THEN 1 ELSE 0 END)::BIGINT
+          AS n_new,
+       sum(CASE WHEN file_type = 'existing' THEN 1 ELSE 0 END)::BIGINT
           AS n_existing,
        count(*) AS n_total
 FROM an WHERE drop_from_nm = 0

@@ -315,7 +315,8 @@ def preprocess_with_schema(raw_by_file: dict[str, DataFrame],
                 # raw preserved for output restore (P14,
                 # generate_output.py:111-113)
                 cols.append(src[0].alias(f"tmp_raw__{v.name}"))
-                out = {v.name: clean_name(src[0])}
+                out = {v.name: clean_name(
+                    src[0], last_name=(v.compare_type == "LastName"))}
             else:  # UniqueID / ExistingID: strip only
                 out = {v.name: F.trim(src[0])}
             for name, expr in out.items():

@@ -54,6 +54,38 @@ def test_uid_conflict_blocks_merge(spark):
     assert res["C"] != res["A"]          # blocked by uid conflict
 
 
+def test_allow_multiple_uids_admits_flipped0(spark):
+    # reference allow_clusters_w_multiple_unique_ids
+    # (cluster.py:242-245, 299-300): the automated uid veto is off, so
+    # a flipped-0 edge (labeled 0 = different uids, scored high) merges
+    an = _an(spark, [("A", "1", 0), ("B", "2", 0)])
+    edges = _edges(spark, [("A__B", "A", "B", "1", "2", 0, 0.97)])
+    strict = {r["record_id"]: r["cluster_id"]
+              for r in constrained_clusters(
+                  edges, _ml_empty(spark), an,
+                  leven_thresh=None).collect()}
+    assert strict["A"] != strict["B"]
+    loose = {r["record_id"]: r["cluster_id"]
+             for r in constrained_clusters(
+                 edges, _ml_empty(spark), an, leven_thresh=None,
+                 allow_multiple_uids=True).collect()}
+    assert loose["A"] == loose["B"]
+
+
+def test_allow_multiple_uids_keeps_eid_and_user_constraints(spark):
+    # the eid (ExistingID) auto constraint still applies under
+    # allow_multiple_uids (reference cluster.py:291-296)
+    an = spark.createDataFrame(
+        [("A", "1", "e1", 0), ("B", "2", "e2", 0)],
+        "record_id string, uid string, eid string, drop_from_nm int")
+    edges = _edges(spark, [("A__B", "A", "B", "1", "2", 0, 0.97)])
+    res = {r["record_id"]: r["cluster_id"]
+           for r in constrained_clusters(
+               edges, _ml_empty(spark), an, leven_thresh=None,
+               eid_col="eid", allow_multiple_uids=True).collect()}
+    assert res["A"] != res["B"]
+
+
 def test_uid_conflict_tolerated_with_leven_thresh(spark):
     an = _an(spark, [("A", "100", 0), ("B", "101", 0)])
     edges = _edges(spark, [("A__B", "A", "B", "100", "101", 0, 0.99)])

@@ -84,12 +84,14 @@ def test_flipped0_and_selection_model(dr):
     assert flipped.count() == scored.count()
 
     sel = train_selection_model(dr, feature_cols=FEATS, num_trees=5)
-    weighted = apply_selection_weight(scored, sel)
+    p_s = 0.25   # scalar share of match-train-eligible rows, P(s)
+    weighted = apply_selection_weight(scored, sel, prob_match_train=p_s)
     row = weighted.select("dr_id", "p_selected", "phat",
-                          "weighted_phat").first()
+                          "selection_weight").first()
     assert 0.0 <= row["p_selected"] <= 1.0
-    expected = row["phat"] * (row["p_selected"] + 1) / (row["phat"] + 1)
-    assert abs(row["weighted_phat"] - expected) < 1e-12
+    # reference predict.py:231 — weight = (P(s)+1)/(p_selected+1)
+    expected = (p_s + 1) / (row["p_selected"] + 1)
+    assert abs(row["selection_weight"] - expected) < 1e-12
 
 
 def test_model_to_use_expr(spark):

@@ -19,14 +19,20 @@ def _prep(spark, rows):
 def test_name_cleaning(spark):
     rows = [("r1", "john jr", "o'brien-smith", "", "", "", ""),
             ("r2", "  mary III ", "mc donald", "", "", "", ""),
-            ("r3", "ANNA-LISA", "smith sr", "", "", "", "")]
+            ("r3", "ANNA-LISA", "smith sr", "", "", "", ""),
+            # suffix mid-string: reference strips \bJR\b ANYWHERE
+            # (utils/utils.py:210-215), not only at the end
+            ("r4", "bobby jr lee", "van jr-holt", "", "", "", "")]
     out = {r["record_id"]: r for r in _prep(spark, rows)}
     assert out["r1"]["first_name"] == "JOHN"
     assert out["r1"]["last_name"] == "OBRIEN SMITH"
     assert out["r2"]["first_name"] == "MARY"
-    assert out["r2"]["last_name"] == "MC DONALD"
+    # P9 last-name rule "MC " -> "MC" (process_input_data.py:398)
+    assert out["r2"]["last_name"] == "MCDONALD"
     assert out["r3"]["first_name"] == "ANNA LISA"
     assert out["r3"]["last_name"] == "SMITH"
+    assert out["r4"]["first_name"] == "BOBBY LEE"
+    assert out["r4"]["last_name"] == "VAN HOLT"
     # raw values preserved for output restoration (P14)
     assert out["r1"]["tmp_raw__last_name"] == "o'brien-smith"
 
