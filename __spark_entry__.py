@@ -172,6 +172,42 @@ def q_er_clusters(spark, sf):
     return res.clusters
 
 
+def q_er_potential_links_det(spark, sf):
+    """M4/M6 machinery (routing, per-model thresholds, gt override)
+    with the deterministic ExprScorer stand-in — full value check; the
+    RF path keeps its rows-only twin ``er_potential_links``."""
+    from namematch_spark.operators.model import (
+        deterministic_model_set, potential_links_model_set,
+        score_with_model_set)
+    an = _an(spark, sf)
+    rp = expand_bs_to_record_pairs(
+        B.candidate_blockstring_pairs(an), an)
+    dr = pair_features(rp, leven_thresh=1)
+    ms = deterministic_model_set()
+    return potential_links_model_set(
+        score_with_model_set(ms, dr), ms).select(
+        "dr_id", "record_id_1", "record_id_2", "model_to_use",
+        "phat", "gt")
+
+
+def q_er_clusters_det(spark, sf):
+    """G1-G5 end-to-end on deterministic edge scores (phat =
+    1 − cos_dist): exercises the auto uid edge veto, CC, component
+    triage AND the greedy constrained replay on every conflict
+    component, value-checked against the recursive-CTE oracle."""
+    from namematch_spark.operators.cluster import constrained_clusters
+    an = _an(spark, sf).cache()
+    rp = expand_bs_to_record_pairs(
+        B.candidate_blockstring_pairs(an), an)
+    pot = rp.select(
+        "dr_id", "record_id_1", "record_id_2",
+        F.lit(0).alias("gt"),
+        (F.lit(1.0) - F.col("cos_dist")).alias("phat"))
+    ml = must_links(an).filter(
+        (F.col("drop_from_nm_1") == 0) & (F.col("drop_from_nm_2") == 0))
+    return constrained_clusters(pot, ml, an, leven_thresh=None)
+
+
 def q_er_incremental(spark, sf):
     # incremental mode (ExistingID seeding + stable ids, G2-eid) over
     # the deterministic must-link graph — fully oracle-checkable
@@ -431,7 +467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_nameprob_features": q_er_nameprob_features,
         "er_cc_mustlinks": q_er_cc_mustlinks,
         "er_potential_links": q_er_potential_links,
+        "er_potential_links_det": q_er_potential_links_det,
         "er_clusters": q_er_clusters,
+        "er_clusters_det": q_er_clusters_det,
         "er_incremental": q_er_incremental,
         "er_output": q_er_output,
         # config-driven schema layer
@@ -473,7 +511,11 @@ def oracle_sql() -> dict[str, str]:
         "er_pair_features": oracles.er_pair_features(),
         "er_nameprob_features": oracles.er_nameprob_features(),
         "er_cc_mustlinks": oracles.er_cc_mustlinks(),
-        # er_potential_links / er_clusters: RF-dependent → rows-only
+        # er_potential_links / er_clusters: RF-dependent → rows-only;
+        # their _det twins value-check the same machinery with
+        # deterministic scores
+        "er_potential_links_det": oracles.er_potential_links_det(),
+        "er_clusters_det": oracles.er_clusters_det(),
         "er_incremental": oracles.er_incremental(),
         "er_output": oracles.er_output(),
         "er_config_preprocess": oracles.er_config_preprocess(),

@@ -155,9 +155,13 @@ def _uids_compatible_factory(leven_thresh: int | None,
         if len(real) <= 1:
             return True
         if leven_thresh is not None:
-            base = real[0]
-            return all(levenshtein(base, u) <= leven_thresh
-                       for u in real[1:])
+            # reference semantics (cluster.py:313-324): every distinct
+            # non-NA uid must have SOME other distinct uid within
+            # leven_thresh edits (min pairwise distance per uid)
+            return all(
+                any(levenshtein(u, v) <= leven_thresh
+                    for v in real if v != u)
+                for u in real)
         return False
 
     return uids_compatible

@@ -48,6 +48,44 @@ class MatchModel:
     eval_metrics: dict
 
 
+@dataclass
+class ExprScorer:
+    """Deterministic closed-form scorer: ``phat = round(clamp(bias +
+    Σ wᵢ·coalesce(fᵢ, fillᵢ), 0, 1), 6)``.
+
+    Two roles: (a) a transparent rule-based fallback model — at
+    bootstrap time there may be no labeled pairs to fit an RF on, and a
+    linear distance score is the standard cold-start; (b) the
+    oracle-checkable stand-in that lets the ENTIRE downstream scoring
+    machinery (``score_with_model_set`` routing, per-model thresholds,
+    gt override, ``potential_links_model_set``) be value-checked
+    against SQL — the RF itself is the only non-SQL-expressible piece,
+    so swapping it for a closed form pins everything around it.
+
+    ``terms``: ordered (column, weight, fill-when-null) triples; the
+    fixed order fixes the FP summation order so Spark and an SQL mirror
+    produce bit-identical doubles.
+    """
+    terms: list[tuple[str, float, float]]
+    bias: float = 1.0
+
+    def phat_expr(self):
+        e = F.lit(float(self.bias))
+        for col, w, fill in self.terms:
+            e = e + F.lit(float(w)) * F.coalesce(
+                F.col(col), F.lit(float(fill)))
+        return F.round(
+            F.greatest(F.lit(0.0), F.least(F.lit(1.0), e)), 6)
+
+    def sql(self) -> str:
+        """The DuckDB-equivalent expression over the same columns."""
+        parts = [repr(float(self.bias))]
+        for col, w, fill in self.terms:
+            parts.append(f"({w!r}) * coalesce({col}, {float(fill)!r})")
+        return ("round(greatest(0.0, least(1.0, "
+                + " + ".join(parts) + ")), 6)")
+
+
 def _assemble(df: DataFrame, feature_cols: list[str]) -> DataFrame:
     filled = df.fillna(-1.0, subset=feature_cols)
     asm = VectorAssembler(inputCols=feature_cols, outputCol="features",
@@ -185,6 +223,40 @@ def train_model_set(data_rows: DataFrame,
     return ModelSet(models=models, missing_field=missing_field)
 
 
+#: Deterministic linear scorer weights (cold-start fallback + the
+#: SQL-mirrorable stand-in for the RF in the correctness contract).
+#: Order fixed — it IS the FP summation order.
+DET_BASIC_TERMS = [
+    ("var_first_name_edit_dist", -0.16, 3.0),
+    ("var_last_name_edit_dist", -0.16, 3.0),
+    ("var_dob_edit_dist", -0.10, 3.0),
+    ("var_age_num_diff", -0.02, 5.0),
+    ("var_gender_exact_match", 0.05, 0.0),
+]
+DET_NODOB_TERMS = [t for t in DET_BASIC_TERMS
+                   if not t[0].startswith("var_dob_")]
+
+
+def deterministic_model_set(missing_field: str | None = "dob"
+                            ) -> ModelSet:
+    """A :class:`ModelSet` backed by :class:`ExprScorer` closed forms:
+    ``basic`` (threshold 0.5) and ``no_<field>`` (dob features
+    excluded, threshold boosted +0.2 like the trained missingness
+    model).  Exercises the exact routing/threshold/union machinery of
+    the RF path with SQL-reproducible scores."""
+    models = {"basic": MatchModel(
+        model=ExprScorer(DET_BASIC_TERMS), threshold=0.5,
+        feature_cols=[c for c, _, _ in DET_BASIC_TERMS],
+        eval_metrics={})}
+    if missing_field is not None:
+        models[f"no_{missing_field}"] = MatchModel(
+            model=ExprScorer(DET_NODOB_TERMS),
+            threshold=0.5 + MISSINGNESS_THRESHOLD_BOOST,
+            feature_cols=[c for c, _, _ in DET_NODOB_TERMS],
+            eval_metrics={})
+    return ModelSet(models=models, missing_field=missing_field)
+
+
 def score_with_model_set(model_set: ModelSet,
                          data_rows: DataFrame) -> DataFrame:
     """M4 over the model registry: each pair is scored by its assigned
@@ -222,7 +294,10 @@ def score_pairs(model: RandomForestClassificationModel,
                 data_rows: DataFrame,
                 feature_cols: list[str] | None = None) -> DataFrame:
     """M4 — phat for every pair; distributed ``model.transform``
-    (``predict.py:88-141``)."""
+    (``predict.py:88-141``).  Accepts an :class:`ExprScorer` in place
+    of an MLlib model (same output contract)."""
+    if isinstance(model, ExprScorer):
+        return data_rows.withColumn("phat", model.phat_expr())
     if feature_cols is None:
         feature_cols = FEATURE_COLS
     assembled = _assemble(data_rows, feature_cols)

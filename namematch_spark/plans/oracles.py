@@ -573,6 +573,199 @@ FROM reach GROUP BY node
 """
 
 
+RP_CTE = """
+an2 AS (SELECT *, nn_string || '::' || dob AS bs
+        FROM an WHERE drop_from_nm = 0),
+rp AS (
+  SELECT c.cos_dist,
+         a1.record_id AS record_id_1, a2.record_id AS record_id_2,
+         a1.first_name AS fn1, a2.first_name AS fn2,
+         a1.last_name AS ln1, a2.last_name AS ln2,
+         a1.dob AS dob1, a2.dob AS dob2,
+         a1.age AS age1, a2.age AS age2,
+         a1.gender AS g1, a2.gender AS g2,
+         a1.uid AS uid_1, a2.uid AS uid_2
+  FROM cand_bs c
+  JOIN an2 a1 ON a1.bs = c.blockstring_1
+  JOIN an2 a2 ON a2.bs = c.blockstring_2
+  WHERE c.blockstring_1 <> c.blockstring_2
+     OR a1.record_id < a2.record_id
+)
+"""
+
+
+def er_potential_links_det() -> str:
+    """M4/M6 machinery with the deterministic :class:`ExprScorer`
+    stand-in (``operators/model.py``): model_to_use routing, per-model
+    linear scores, per-model thresholds, gt override — the exact SQL
+    mirror of ``score_with_model_set`` + ``potential_links_model_set``
+    minus the RF (the only non-expressible piece).  Reference flow:
+    ``predict.py:88-141`` scoring → ``predict.py:109-134`` threshold
+    filter."""
+    from namematch_spark.operators.model import deterministic_model_set
+    ms = deterministic_model_set()
+    basic = ms.models["basic"]
+    nodob = ms.models["no_dob"]
+    return f"""
+WITH person AS ({PERSON}),
+{bs_candidates_cte().strip()},
+{RP_CTE.strip()},
+feat AS (
+  SELECT record_id_1, record_id_2,
+         record_id_1 || '__' || record_id_2 AS dr_id,
+  CASE WHEN fn1='' OR fn2='' THEN NULL
+       ELSE levenshtein(fn1, fn2)::DOUBLE END AS var_first_name_edit_dist,
+  CASE WHEN ln1='' OR ln2='' THEN NULL
+       ELSE levenshtein(ln1, ln2)::DOUBLE END AS var_last_name_edit_dist,
+  CASE WHEN dob1='' OR dob2='' THEN 1.0 ELSE 0.0 END AS var_dob_missing,
+  CASE WHEN dob1='' OR dob2='' THEN NULL
+       ELSE levenshtein(dob1, dob2)::DOUBLE END AS var_dob_edit_dist,
+  CASE WHEN age1='' OR age2='' THEN NULL
+       ELSE abs(age1::DOUBLE - age2::DOUBLE) END AS var_age_num_diff,
+  CASE WHEN g1='' OR g2='' THEN NULL
+       ELSE (g1 = g2)::INT::DOUBLE END AS var_gender_exact_match,
+  CASE WHEN uid_1='' OR uid_2='' THEN ''
+       WHEN uid_1 = uid_2 THEN '1'
+       WHEN levenshtein(uid_1, uid_2) <= 1 THEN ''
+       ELSE '0' END AS label
+  FROM rp
+),
+scored AS (
+  SELECT dr_id, record_id_1, record_id_2,
+         CASE WHEN var_dob_missing = 1.0 THEN 'no_dob'
+              ELSE 'basic' END AS model_to_use,
+         CASE WHEN var_dob_missing = 1.0 THEN {nodob.model.sql()}
+              ELSE {basic.model.sql()} END AS phat,
+         CASE WHEN label = '1' THEN 1 ELSE 0 END AS gt
+  FROM feat
+)
+SELECT dr_id, record_id_1, record_id_2, model_to_use, phat, gt
+FROM scored
+WHERE phat >= CASE WHEN model_to_use = 'no_dob'
+                   THEN {nodob.threshold!r} ELSE {basic.threshold!r} END
+   OR gt = 1
+"""
+
+
+def er_clusters_det() -> str:
+    """G1-G5 end-to-end with deterministic edge scores — the FULL
+    constrained clustering value check, conflict components included.
+
+    The greedy constrained replay (reference loop ``cluster.py:611-726``)
+    is sequential per component; per-component order restricted from the
+    global (gt desc, phat desc, dr_id) order is exactly what the Spark
+    ``applyInPandas`` replay executes.  Here the same loop is expressed
+    as a DuckDB recursive CTE: state rows carry (component, record,
+    cluster-id, cluster-uid), iteration k applies each component's k-th
+    ranked edge simultaneously (window-function lookups over the
+    recursive working table — components are independent, so parallel
+    per-component steps are order-equivalent to the reference's global
+    sequential loop).  The ≤1-distinct-uid auto constraint
+    (``cluster.py:272-324``, leven_thresh=None) reduces to a single
+    cluster-uid summary value, which makes the merge validity check
+    O(1) per row.  Clean components (no uid conflict) come from
+    recursive min-label connected components; singletons fall out of
+    the same CTE.
+    """
+    return f"""
+WITH RECURSIVE person AS ({PERSON}),
+{bs_candidates_cte().strip()},
+{ML.strip()},
+{RP_CTE.strip()},
+pot AS MATERIALIZED (
+  SELECT record_id_1 AS r1, record_id_2 AS r2,
+         record_id_1 || '__' || record_id_2 AS dr_id,
+         0 AS gt, 1 - cos_dist AS phat
+  FROM rp
+  WHERE NOT (uid_1 <> '' AND uid_2 <> '' AND uid_1 <> uid_2)
+),
+mle AS (
+  SELECT record_id_1 AS r1, record_id_2 AS r2,
+         record_id_1 || '__' || record_id_2 AS dr_id,
+         1 AS gt, 1.0 AS phat
+  FROM ml WHERE drop_from_nm_1 = 0 AND drop_from_nm_2 = 0
+),
+alledges AS MATERIALIZED (
+  SELECT * FROM pot UNION ALL SELECT * FROM mle
+),
+cedges AS (
+  SELECT r1 AS src, r2 AS dst FROM alledges
+  UNION
+  SELECT r2, r1 FROM alledges
+),
+nodes AS (SELECT DISTINCT record_id FROM an2),
+reach(node, lbl) AS (
+  SELECT record_id, record_id FROM nodes
+  UNION
+  SELECT e.dst, r.lbl
+  FROM reach r JOIN cedges e ON e.src = r.node
+  WHERE r.lbl < e.dst
+),
+comp AS MATERIALIZED (
+  SELECT node AS record_id, min(lbl) AS comp_id
+  FROM reach GROUP BY node
+),
+cstat AS (
+  SELECT c.comp_id,
+         count(DISTINCT CASE WHEN a.uid <> '' THEN a.uid END) AS n_uid
+  FROM comp c JOIN an2 a USING (record_id)
+  GROUP BY c.comp_id
+),
+dirty AS (SELECT comp_id FROM cstat WHERE n_uid > 1),
+dedges AS MATERIALIZED (
+  SELECT e.r1, e.r2, e.gt, e.phat, c.comp_id,
+         row_number() OVER (PARTITION BY c.comp_id
+                            ORDER BY e.gt DESC, e.phat DESC, e.dr_id)
+             AS rk
+  FROM alledges e
+  JOIN comp c ON c.record_id = e.r1
+  WHERE c.comp_id IN (SELECT comp_id FROM dirty)
+),
+drecs AS MATERIALIZED (
+  SELECT c.comp_id, a.record_id, a.uid
+  FROM comp c JOIN an2 a USING (record_id)
+  WHERE c.comp_id IN (SELECT comp_id FROM dirty)
+),
+state AS (
+  SELECT 0 AS k, comp_id, record_id, record_id AS cid, uid AS cuid
+  FROM drecs
+  UNION ALL
+  SELECT k + 1, comp_id, record_id,
+         CASE WHEN ok AND cid IN (c1, c2) THEN least(c1, c2)
+              ELSE cid END,
+         CASE WHEN ok AND cid IN (c1, c2)
+              THEN (CASE WHEN uu1 <> '' THEN uu1 ELSE uu2 END)
+              ELSE cuid END
+  FROM (
+    SELECT s.k, s.comp_id, s.record_id, s.cid, s.cuid,
+       max(CASE WHEN s.record_id = e.r1 THEN s.cid END)
+           OVER (PARTITION BY s.comp_id) AS c1,
+       max(CASE WHEN s.record_id = e.r2 THEN s.cid END)
+           OVER (PARTITION BY s.comp_id) AS c2,
+       max(CASE WHEN s.record_id = e.r1 THEN s.cuid END)
+           OVER (PARTITION BY s.comp_id) AS uu1,
+       max(CASE WHEN s.record_id = e.r2 THEN s.cuid END)
+           OVER (PARTITION BY s.comp_id) AS uu2
+    FROM state s JOIN dedges e
+      ON e.comp_id = s.comp_id AND e.rk = s.k + 1
+  ) t(k, comp_id, record_id, cid, cuid, c1, c2, uu1, uu2),
+  LATERAL (SELECT c1 <> c2
+           AND NOT (uu1 <> '' AND uu2 <> '' AND uu1 <> uu2) AS ok) v
+),
+greedy AS (
+  SELECT record_id, cid AS cluster_id FROM (
+    SELECT record_id, cid,
+           row_number() OVER (PARTITION BY record_id
+                              ORDER BY k DESC) AS rn
+    FROM state) WHERE rn = 1
+)
+SELECT record_id, comp_id AS cluster_id FROM comp
+WHERE comp_id NOT IN (SELECT comp_id FROM dirty)
+UNION ALL
+SELECT record_id, cluster_id FROM greedy
+"""
+
+
 def er_output() -> str:
     """Output stage over the deterministic must-link clustering: raw
     values restored into the cleaned name columns
