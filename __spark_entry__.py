@@ -135,7 +135,7 @@ def q_er_nameprob_features(spark, sf):
     lp = probs.select(F.col("name_prob_str").alias("__s1p"),
                       F.round("log_prob", 6).alias("log_prob_name_1"))
     base = base.join(
-        F.broadcast(lp),
+        lp,
         NP.name_prob_str(F.col("first_name_1"), F.col("last_name_1"))
         == F.col("__s1p"), "left").drop("__s1p")
     swapped = NP.swap_repair(base, probs)

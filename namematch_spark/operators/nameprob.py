@@ -138,18 +138,31 @@ def count_percentiles(all_names: DataFrame, expr: Column,
     record counts (``generate_data_rows.py:144-146``: pandas
     ``rank(pct=True, method='min').round(2)``).
 
-    Output: (value, <out_col>).  The rank window runs over *distinct*
-    values only (bounded cardinality — same deliberate single-reducer
-    trade-off as the commonness penalty, documented there).
+    Output: (value, <out_col>).  Distributed rank decomposition (same
+    scheme as the commonness penalty, ``blocking.py:135-190``): a naive
+    ``rank() OVER (ORDER BY __cnt)`` funnels every distinct name
+    through ONE task — at web scale distinct names ~ O(records), the
+    next Amdahl term.  Min-method rank = 1 + #values with a strictly
+    smaller count, so the only window needed runs over the
+    *frequency-of-frequencies* table (#distinct counts rows — hundreds
+    at any scale); the per-value join back is an ordinary broadcast.
+    Identical output, no single-task stage over values.
     """
     counts = (all_names.select(expr.alias("value"))
               .groupBy("value").agg(F.count("*").alias("__cnt")))
-    w = Window.orderBy("__cnt")
+    cnts = counts.groupBy("__cnt").agg(F.count("*").alias("__n_same"))
+    w = Window.orderBy("__cnt") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (cnts
+           .withColumn("__below",
+                       F.sum("__n_same").over(w) - F.col("__n_same"))
+           .select("__cnt", "__below"))
     total = counts.select(F.count("*").alias("__n"))
     return (
-        counts.crossJoin(F.broadcast(total))
+        counts.join(F.broadcast(cum), "__cnt")
+        .crossJoin(F.broadcast(total))
         .withColumn(out_col,
-                    F.round(F.rank().over(w) / F.col("__n"), 2))
+                    F.round((F.col("__below") + 1) / F.col("__n"), 2))
         .select("value", out_col)
     )
 
@@ -179,7 +192,7 @@ def swap_repair(record_pairs: DataFrame, probs: DataFrame,
     ``ed(rev(name1), name2) < ed(name1, name2)``, the LESS probable
     side's fn/ln are swapped.  Adds ``switched_name`` (0/1/2) and
     rewrites the four name columns in place; all native expressions
-    plus two broadcast joins against the per-name probability dim.
+    plus two dim joins against the per-name probability dim.
     """
     p1 = probs.select(F.col("name_prob_str").alias("__nps1"),
                       F.col("prob").alias("__prob1"))
@@ -189,10 +202,10 @@ def swap_repair(record_pairs: DataFrame, probs: DataFrame,
     ln1, ln2 = F.col(f"{ln_col}_1"), F.col(f"{ln_col}_2")
     df = (
         record_pairs
-        .join(F.broadcast(p1),
-              name_prob_str(fn1, ln1) == F.col("__nps1"), "left")
-        .join(F.broadcast(p2),
-              name_prob_str(fn2, ln2) == F.col("__nps2"), "left")
+        # per-name probability dim ~ O(distinct names): no broadcast
+        # hint — AQE decides (forced broadcast OOMs the driver at 100x)
+        .join(p1, name_prob_str(fn1, ln1) == F.col("__nps1"), "left")
+        .join(p2, name_prob_str(fn2, ln2) == F.col("__nps2"), "left")
     )
     name_ed = F.levenshtein(F.concat(fn1, ln1), F.concat(fn2, ln2))
     rev_ed = F.levenshtein(F.concat(ln1, fn1), F.concat(fn2, ln2))
@@ -220,7 +233,9 @@ def pctl_pair_features(record_pairs: DataFrame, dims: dict[str, DataFrame],
                        ln_col: str = "last_name") -> DataFrame:
     """The six kept name-prob features
     (``generate_data_rows.py:253-259``): abs-diff and max of each
-    percentile across the pair.  Broadcast joins per side per dim."""
+    percentile across the pair.  One dim join per side per dim (no
+    forced broadcast — the dims grow with distinct names; AQE picks
+    broadcast vs shuffle at runtime)."""
     fn1 = F.regexp_replace(F.col(f"{fn_col}_1"), " ", "")
     fn2 = F.regexp_replace(F.col(f"{fn_col}_2"), " ", "")
     ln1 = F.regexp_replace(F.col(f"{ln_col}_1"), " ", "")
@@ -240,8 +255,9 @@ def pctl_pair_features(record_pairs: DataFrame, dims: dict[str, DataFrame],
                             F.col(col).alias("__p2"))
         df = (
             df
-            .join(F.broadcast(d1), k1 == F.col("__v1"), "left")
-            .join(F.broadcast(d2), k2 == F.col("__v2"), "left")
+            # percentile dims ~ O(distinct names): AQE decides
+            .join(d1, k1 == F.col("__v1"), "left")
+            .join(d2, k2 == F.col("__v2"), "left")
             .withColumn(f"diff_count_pctl_{k}",
                         F.abs(F.col("__p1") - F.col("__p2")))
             .withColumn(f"max_count_pctl_{k}",

@@ -354,8 +354,13 @@ def pair_features(record_pairs: DataFrame,
             F.col("__s1"), F.col("__s2"),
             F.col("__jw").alias(f"var_{v}_jw_dist"),
             F.col("__ny").alias(f"var_{v}_nysiis"))
+        # no broadcast hint: the distinct-name-pair dim grows with the
+        # data (tens of millions of rows at 100x) — a forced broadcast
+        # OOMs the driver.  AQE broadcasts it at runtime while small
+        # and falls back to a shuffle join once it isn't (same policy
+        # as blocking.py's dim joins).
         base = base.join(
-            F.broadcast(d),
+            d,
             (F.col(f"{v}_1") == d.__s1) & (F.col(f"{v}_2") == d.__s2),
             "left").drop("__s1", "__s2")
 
@@ -427,8 +432,13 @@ def pair_features_with_schema(record_pairs: DataFrame, schema,
             F.col("__s1"), F.col("__s2"),
             F.col("__jw").alias(f"var_{v}_jw_dist"),
             F.col("__ny").alias(f"var_{v}_nysiis"))
+        # no broadcast hint: the distinct-name-pair dim grows with the
+        # data (tens of millions of rows at 100x) — a forced broadcast
+        # OOMs the driver.  AQE broadcasts it at runtime while small
+        # and falls back to a shuffle join once it isn't (same policy
+        # as blocking.py's dim joins).
         base = base.join(
-            F.broadcast(d),
+            d,
             (F.col(f"{v}_1") == d.__s1) & (F.col(f"{v}_2") == d.__s2),
             "left").drop("__s1", "__s2")
     base = base.drop(*carried)
