@@ -75,13 +75,13 @@ class PipelineConfig:
 @dataclass
 class PipelineResult:
     all_names: DataFrame
-    must_links: DataFrame
-    candidate_nn_pairs: DataFrame
-    data_rows: DataFrame
-    model: MatchModel
-    potential_links: DataFrame
-    clusters: DataFrame
-    metrics: dict
+    must_links: DataFrame | None = None
+    candidate_nn_pairs: DataFrame | None = None
+    data_rows: DataFrame | None = None
+    model: MatchModel | None = None
+    potential_links: DataFrame | None = None
+    clusters: DataFrame | None = None
+    metrics: dict | None = None
 
 
 STAGES = ["all_names", "must_links", "candidates", "data_rows",
@@ -89,10 +89,22 @@ STAGES = ["all_names", "must_links", "candidates", "data_rows",
 
 
 def run_pipeline(records: DataFrame,
-                 config: PipelineConfig | None = None) -> PipelineResult:
+                 config: PipelineConfig | None = None,
+                 all_names: DataFrame | None = None,
+                 stop_after: str | None = None) -> PipelineResult:
     """Run the full linkage over a raw person-records DataFrame
     (columns: record_id, first_name, last_name, dob, gender, age, uid).
+
+    ``all_names``: inject a pre-built all-names table (e.g. from the
+    config-driven ``preprocess_with_schema`` path — the CLI uses this);
+    ``records`` is then only used for input fingerprinting.
+    ``stop_after``: one of :data:`STAGES` — materialize up to and
+    including that stage and return a partial result (the reference's
+    per-stage CLI subcommands, ``cli.py:115-283``); with a checkpoint
+    dir the next invocation resumes from there.
     """
+    if stop_after is not None and stop_after not in STAGES:
+        raise ValueError(f"stop_after must be one of {STAGES}")
     cfg = config or PipelineConfig()
     spark = records.sparkSession
     ckpt = (CheckpointManager(cfg.checkpoint_dir)
@@ -139,8 +151,14 @@ def run_pipeline(records: DataFrame,
         B.release_caches()
         return out
 
-    an = stage("all_names", lambda: preprocess(records), [])
+    an = stage("all_names",
+               (lambda: all_names) if all_names is not None
+               else (lambda: preprocess(records)), [])
+    if stop_after == "all_names":
+        return PipelineResult(all_names=an)
     ml = stage("must_links", lambda: must_links(an), ["all_names"])
+    if stop_after == "must_links":
+        return PipelineResult(all_names=an, must_links=ml)
     cand = stage("candidates", lambda: B.candidate_blockstring_pairs(
         an, bars=cfg.bars, num_hashes=cfg.num_hashes,
         rows_per_band=cfg.rows_per_band), ["all_names"])
@@ -163,7 +181,13 @@ def run_pipeline(records: DataFrame,
         return pair_features(rp, leven_thresh=cfg.leven_thresh,
                              pctl_dims=pctl_dims, name_probs=probs)
 
+    if stop_after == "candidates":
+        return PipelineResult(all_names=an, must_links=ml,
+                              candidate_nn_pairs=cand)
     dr = stage("data_rows", _data_rows, ["all_names", "candidates"])
+    if stop_after == "data_rows":
+        return PipelineResult(all_names=an, must_links=ml,
+                              candidate_nn_pairs=cand, data_rows=dr)
 
     # ---- models: basic + missingness (M2), persisted + resumed
     # alongside the data stages so a resumed run scores with the SAME
@@ -224,6 +248,11 @@ def run_pipeline(records: DataFrame,
     pl = stage("potential_links", lambda: potential_links_model_set(
         score_with_model_set(model_set, dr), model_set),
         ["data_rows", "match_model"])
+    if stop_after == "potential_links":
+        return PipelineResult(all_names=an, must_links=ml,
+                              candidate_nn_pairs=cand, data_rows=dr,
+                              model=model_set.basic,
+                              potential_links=pl)
     clusters = stage("clusters", lambda: constrained_clusters(
         pl, ml_clean, an, leven_thresh=cfg.leven_thresh,
         is_valid_cluster=cfg.is_valid_cluster,

@@ -114,6 +114,7 @@ class DataFile:
     record_id_col: str
     file_type: str = "new"          # "new" | "existing"
     delim: str = ","                # kept for CSV sources
+    filepath: str = ""              # CLI source path (csv or parquet)
 
     def __post_init__(self):
         if self.file_type not in ("new", "existing"):
@@ -167,7 +168,9 @@ class Schema:
         """
         dfs = [DataFile(nickname=nick,
                         record_id_col=d["record_id_col"],
-                        file_type=d.get("file_type", "new"))
+                        file_type=d.get("file_type", "new"),
+                        delim=d.get("delim", ","),
+                        filepath=d.get("filepath", ""))
                for nick, d in cfg["data_files"].items()]
         variables = []
         for vd in cfg["variables"]:

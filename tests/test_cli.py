@@ -1,0 +1,93 @@
+"""CLI driver (reference ``cli.py:74-283``): full run, per-stage
+subcommands, and checkpoint resume after a "killed" run."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import yaml
+
+from tests.conftest import SF_SMALL
+
+
+def _make_inputs(spark, tmp_path):
+    """Two CSV data files with different column names, split from the
+    sf0.001 person derivation."""
+    from pyspark.sql import functions as F
+
+    from namematch_spark.sources.records import person_records
+    recs = person_records(spark, SF_SMALL)
+    bucket = F.abs(F.xxhash64("record_id")) % 3
+    a = recs.filter(bucket != 0)
+    b = (recs.filter(bucket == 0)
+         .withColumnRenamed("first_name", "fname")
+         .withColumnRenamed("last_name", "surname"))
+    pa, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    a.write.mode("overwrite").parquet(pa)
+    b.write.mode("overwrite").parquet(pb)
+    cfg = {
+        "data_files": {
+            "curr": {"filepath": pa, "record_id_col": "record_id",
+                     "file_type": "new"},
+            "hist": {"filepath": pb, "record_id_col": "record_id",
+                     "file_type": "existing"},
+        },
+        "variables": [
+            {"name": "first_name", "compare_type": "String",
+             "curr_col": "first_name", "hist_col": "fname"},
+            {"name": "last_name", "compare_type": "LastName",
+             "curr_col": "last_name", "hist_col": "surname"},
+            {"name": "dob", "compare_type": "Date",
+             "check": "Date - %Y-%m-%d",
+             "curr_col": "dob", "hist_col": "dob"},
+            {"name": "age", "compare_type": "Numeric",
+             "curr_col": "age", "hist_col": "age"},
+            {"name": "gender", "compare_type": "Categorical",
+             "check": ["M", "F"],
+             "curr_col": "gender", "hist_col": "gender"},
+            {"name": "uid", "compare_type": "UniqueID",
+             "curr_col": "uid", "hist_col": "uid"},
+        ],
+        "num_trees": 5,
+        "name_prob": False,
+    }
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return cfg_path
+
+
+def test_cli_stage_then_resume_full_run(spark, tmp_path):
+    from namematch_spark.cli import main
+    cfg_path = _make_inputs(spark, tmp_path)
+    out = str(tmp_path / "out")
+    common = ["-c", cfg_path, "--output-dir", out,
+              "--keep-session", "--shuffle-partitions", "8"]
+
+    # stage subcommand: materialize through blocking, then "die"
+    assert main(["block", *common]) == 0
+    ckpt = os.path.join(out, "checkpoints")
+    done = {d for d in os.listdir(ckpt)
+            if os.path.isdir(os.path.join(ckpt, d))}
+    assert {"all_names", "must_links", "candidates"} <= done
+    assert "data_rows" not in done
+    mtimes = {d: os.path.getmtime(os.path.join(ckpt, d)) for d in done}
+
+    # full run resumes: earlier stage outputs are reused, not rebuilt
+    assert main(["run", *common]) == 0
+    for d, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(ckpt, d)) == t, \
+            f"stage {d} was recomputed instead of resumed"
+    info = json.load(open(os.path.join(out, "nm_info.json")))
+    assert info["stage"] == "all"
+    # per-file outputs with cluster ids exist and carry original columns
+    out_a = os.path.join(out, "curr_with_clusterid")
+    assert os.path.isdir(out_a)
+    df = (spark.read.option("header", True).csv(out_a))
+    assert "cluster_id" in df.columns and "first_name" in df.columns
+    assert df.count() > 0
+    # all-names parquet with restored raw values
+    an = spark.read.parquet(os.path.join(out, "all_names"))
+    assert "cluster_id" in an.columns
+    assert an.count() > 0
