@@ -126,38 +126,63 @@ def train_match_model(data_rows: DataFrame,
         seed=SEED, subsamplingRate=0.8)
     model = rf.fit(assembled)
 
-    # ---- threshold sweep on the held-out split (driver-side histogram)
+    # ---- threshold sweep on the held-out split (driver-side histogram,
+    # additionally keyed by the exactmatch flag so the M5 universe
+    # splits come from the SAME single aggregation)
     scored_eval = score_pairs(model, eval_, feature_cols)
+    em = (F.col("exactmatch") if "exactmatch" in eval_.columns
+          else F.lit(0)).alias("em")
     hist = (
         scored_eval
-        .groupBy(F.round("phat", 2).alias("pb"), "y")
+        .groupBy(F.round("phat", 2).alias("pb"), "y", em)
         .agg(F.count("*").alias("n"))
         .collect()
     )
     pos = {}; neg = {}
     for row in hist:
-        (pos if row["y"] == 1.0 else neg)[row["pb"]] = row["n"]
-    total_pos = sum(pos.values())
-    best_t, best_fb = default_threshold, -1.0
-    metrics = {}
-    t = 0.99
-    while t >= 0.02:
-        tp = sum(n for p, n in pos.items() if p >= t)
-        fp = sum(n for p, n in neg.items() if p >= t)
-        fn = total_pos - tp
+        d = pos if row["y"] == 1.0 else neg
+        d[(row["pb"], row["em"])] = d.get((row["pb"], row["em"]), 0) \
+            + row["n"]
+
+    def _metrics_at(t: float, univ) -> dict:
+        """Confusion metrics at threshold ``t`` restricted to a
+        universe (reference ``model_evaluation_functions.py:266-329``:
+        'all pairs' / 'exactmatch pairs' / 'non exactmatch pairs')."""
+        def tot(d, pred=None):
+            return sum(n for (p, e), n in d.items()
+                       if (univ is None or e == univ)
+                       and (pred is None or (p >= t) == pred))
+        tp, fp = tot(pos, True), tot(neg, True)
+        fn, tn = tot(pos, False), tot(neg, False)
+        n = tp + fp + fn + tn
+        if n == 0:
+            return {"n_eval": 0}
         prec = tp / (tp + fp) if tp + fp else 0.0
         rec = tp / (tp + fn) if tp + fn else 0.0
-        if prec + rec:
-            fb = ((1 + beta ** 2) * prec * rec
-                  / (beta ** 2 * prec + rec))
-        else:
-            fb = 0.0
+        fb = ((1 + beta ** 2) * prec * rec
+              / (beta ** 2 * prec + rec)) if prec + rec else 0.0
+        return {"precision": prec, "recall": rec, f"f{beta}": fb,
+                "baserate": (tp + fn) / n,
+                "fp_rate": fp / (fp + tn) if fp + tn else 0.0,
+                "fn_rate": fn / (fn + tp) if fn + tp else 0.0,
+                "n_eval": n}
+
+    # threshold optimized over ALL pairs (reference optimizes once,
+    # then reports every universe at that threshold)
+    best_t, best_fb = default_threshold, -1.0
+    t = 0.99
+    while t >= 0.02:
+        fb = _metrics_at(t, None).get(f"f{beta}", 0.0)
         if fb > best_fb:
             best_fb, best_t = fb, t
-            metrics = {"precision": prec, "recall": rec,
-                       f"f{beta}": fb, "threshold": t,
-                       "n_eval": total_pos + sum(neg.values())}
         t = round(t - 0.01, 2)
+    metrics = _metrics_at(best_t, None)
+    metrics["threshold"] = best_t
+    metrics["universes"] = {
+        "all pairs": _metrics_at(best_t, None),
+        "exactmatch pairs": _metrics_at(best_t, 1),
+        "non exactmatch pairs": _metrics_at(best_t, 0),
+    }
     return MatchModel(model=model, threshold=best_t,
                       feature_cols=feature_cols, eval_metrics=metrics)
 

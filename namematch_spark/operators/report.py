@@ -73,6 +73,15 @@ def generate_report(result, out_dir: str) -> str:
                      f"{m.get('n_features')} features, "
                      f"precision {m.get('precision')}, "
                      f"recall {m.get('recall')}")
+        # M5 universe splits (model_evaluation_functions.py:266-329):
+        # exactmatch pairs are where a linkage model degrades silently
+        for univ, um in m.get("universes", {}).items():
+            if um.get("n_eval"):
+                lines.append(
+                    f"    - {univ}: precision {um.get('precision')}, "
+                    f"recall {um.get('recall')}, "
+                    f"baserate {um.get('baserate')}, "
+                    f"n={um['n_eval']}")
     if "pairwise" in metrics:
         pw = metrics["pairwise"]
         lines += ["", "## Pairwise evaluation (labeled pairs)", "",

@@ -94,6 +94,28 @@ def test_flipped0_and_selection_model(dr):
     assert abs(row["selection_weight"] - expected) < 1e-12
 
 
+def test_per_universe_evaluation(dr):
+    # M5 universe splits (model_evaluation_functions.py:266-329): the
+    # held-out metrics are reported for all / exactmatch /
+    # non-exactmatch pairs at the optimized threshold
+    dr_em = dr.withColumn(
+        "exactmatch",
+        (F.col("var_first_name_edit_dist") == 0.0).cast("int"))
+    ms = train_model_set(dr_em, feature_cols=FEATS, missing_field=None,
+                         num_trees=5)
+    u = ms.basic.eval_metrics["universes"]
+    assert set(u) == {"all pairs", "exactmatch pairs",
+                      "non exactmatch pairs"}
+    assert (u["exactmatch pairs"]["n_eval"]
+            + u["non exactmatch pairs"]["n_eval"]
+            == u["all pairs"]["n_eval"])
+    # the fixture is separable: exactmatch universe is all true
+    # matches, so recall there is 1.0 and baserate 1.0
+    if u["exactmatch pairs"]["n_eval"]:
+        assert u["exactmatch pairs"]["recall"] == 1.0
+        assert u["exactmatch pairs"]["baserate"] == 1.0
+
+
 def test_model_to_use_expr(spark):
     df = spark.createDataFrame([(1.0,), (0.0,)], "var_dob_missing double") \
         .withColumn("m", model_to_use_expr("dob"))
