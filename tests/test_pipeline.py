@@ -27,6 +27,69 @@ def test_pair_completeness(result):
     assert result.metrics["pair_completeness"] >= 0.99
 
 
+def test_f1_vs_true_entities(result, spark):
+    """Pairwise F1 vs the FULL hidden ground truth (``true_entity`` —
+    every record, not just the ~2/3 with a revealed uid), at the same
+    blocking key: for every candidate pair, predicted co-cluster vs
+    true co-entity.  The BASELINE gate's reference-cluster comparison
+    cannot literally run here (the reference needs sklearn + nmslib,
+    absent from this environment, no installs allowed); the true-entity
+    partition is the partition the reference pipeline is itself judged
+    against, so matching it at F1 ≥ 0.99 is the strongest available
+    evidence."""
+    from namematch_spark.sources.records import person_records
+    te = person_records(result.clusters.sparkSession, SF_SMALL) \
+        .select("record_id", "true_entity")
+    cl = result.clusters
+    pairs = (
+        result.data_rows.select("record_id_1", "record_id_2")
+        .join(te.select(F.col("record_id").alias("record_id_1"),
+                        F.col("true_entity").alias("__t1")),
+              "record_id_1")
+        .join(te.select(F.col("record_id").alias("record_id_2"),
+                        F.col("true_entity").alias("__t2")),
+              "record_id_2")
+        .join(cl.select(F.col("record_id").alias("record_id_1"),
+                        F.col("cluster_id").alias("__c1")),
+              "record_id_1")
+        .join(cl.select(F.col("record_id").alias("record_id_2"),
+                        F.col("cluster_id").alias("__c2")),
+              "record_id_2"))
+    row = pairs.agg(
+        F.sum(((F.col("__t1") == F.col("__t2"))
+               & (F.col("__c1") == F.col("__c2"))).cast("int"))
+        .alias("tp"),
+        F.sum(((F.col("__t1") != F.col("__t2"))
+               & (F.col("__c1") == F.col("__c2"))).cast("int"))
+        .alias("fp"),
+        F.sum(((F.col("__t1") == F.col("__t2"))
+               & (F.col("__c1") != F.col("__c2"))).cast("int"))
+        .alias("fn")).first()
+    tp, fp, fn = row["tp"], row["fp"], row["fn"]
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    f1 = 2 * prec * rec / (prec + rec)
+    assert f1 >= 0.99, (tp, fp, fn, f1)
+
+
+def test_clusters_det_golden_fixture(spark):
+    """Pinned golden: the deterministic-score clustering at sf0.001
+    (the er_clusters_det contract input) must reproduce the committed
+    fixture exactly — regression protection for the greedy replay,
+    CC, veto and triage, independent of the driver's oracle run."""
+    import csv
+    import os
+    import __spark_entry__ as E
+    got = {r["record_id"]: r["cluster_id"]
+           for r in E.q_er_clusters_det(spark, SF_SMALL).collect()}
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "clusters_det_sf0001.csv")
+    with open(fixture) as f:
+        want = {row["record_id"]: row["cluster_id"]
+                for row in csv.DictReader(f)}
+    assert got == want
+
+
 def test_cluster_count_sane(result):
     # 150 true entities at sf0.001; allow small slack
     n = result.metrics["n_clusters"]
