@@ -97,7 +97,8 @@ def train_match_model(data_rows: DataFrame,
                       feature_cols: list[str] | None = None,
                       num_trees: int = 100,
                       beta: float = 0.5,
-                      default_threshold: float = 0.5) -> MatchModel:
+                      default_threshold: float = 0.5,
+                      weight_col: str | None = None) -> MatchModel:
     """M1 + W5 + W6 + M5 — fit the RF on labeled pairs, pick the
     F_beta-optimal threshold on a held-out split.
 
@@ -105,6 +106,10 @@ def train_match_model(data_rows: DataFrame,
     sampling (``fit_model.py:399-404``); the threshold sweep runs on a
     2-decimal phat histogram — a tiny driver-side table regardless of
     data size (W6, ``model_evaluation_functions.py:150-189``).
+    ``weight_col``: a per-pair training sample weight — the selection
+    model's ``selection_weight`` goes here (``(P(s)+1)/(p_selected+1)``,
+    reference ``predict.py:229-233`` + sklearn ``sample_weight`` in
+    ``fit_model.py``).
     """
     if feature_cols is None:
         feature_cols = FEATURE_COLS
@@ -123,7 +128,8 @@ def train_match_model(data_rows: DataFrame,
     rf = RandomForestClassifier(
         featuresCol="features", labelCol="y",
         numTrees=num_trees, minInstancesPerNode=25, maxDepth=12,
-        seed=SEED, subsamplingRate=0.8)
+        seed=SEED, subsamplingRate=0.8,
+        **({"weightCol": weight_col} if weight_col else {}))
     model = rf.fit(assembled)
 
     # ---- threshold sweep on the held-out split (driver-side histogram,

@@ -253,13 +253,20 @@ def label_expr(leven_thresh: int | None = None) -> Column:
     ).otherwise(base)
 
 
-def exactmatch_expr(exact_vars: list[str]) -> Column:
-    """F13 — all exact-match variables equal & non-missing
-    (``generate_data_rows.py:297-310``)."""
+def exactmatch_expr(exact_vars: list[str],
+                    negate_vars: list[str] | None = None) -> Column:
+    """F13 — all exact-match variables equal & non-missing; negated
+    when any ``negate_exact_match_variables`` entry differs with both
+    sides present — e.g. differing middle initials break an otherwise
+    exact match (``generate_data_rows.py:296-307``, params
+    ``default_parameters.yaml:18-19``)."""
     cond = F.lit(True)
     for v in exact_vars:
         c1, c2 = F.col(f"{v}_1"), F.col(f"{v}_2")
         cond = cond & (c1 != "") & (c1 == c2)
+    for v in negate_vars or []:
+        c1, c2 = F.col(f"{v}_1"), F.col(f"{v}_2")
+        cond = cond & ~((c1 != c2) & (c1 != "") & (c2 != ""))
     return cond.cast("int")
 
 
@@ -308,6 +315,7 @@ PCTL_FEATURE_COLS = [
 def pair_features(record_pairs: DataFrame,
                   leven_thresh: int | None = 1,
                   exact_vars: list[str] | None = None,
+                  negate_exact_vars: list[str] | None = None,
                   pctl_dims: dict | None = None,
                   name_probs: DataFrame | None = None) -> DataFrame:
     """Full feature table over side-by-side record pairs (the
@@ -345,7 +353,8 @@ def pair_features(record_pairs: DataFrame,
         F.col("first_name_1"), F.col("first_name_2"),
         F.col("last_name_1"), F.col("last_name_2"),
         *feats,
-        exactmatch_expr(exact_vars).alias("exactmatch"),
+        exactmatch_expr(exact_vars, negate_exact_vars)
+        .alias("exactmatch"),
         label_expr(leven_thresh).alias("label"))
 
     dim = _py_metrics_dim(record_pairs, ["first_name", "last_name"])

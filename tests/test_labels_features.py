@@ -59,3 +59,21 @@ def test_feature_invariants(spark, all_names):
     bad = same.filter((F.col("var_first_name_edit_dist") != 0.0)
                       | (F.col("var_first_name_jw_dist") != 0.0)).count()
     assert bad == 0
+
+
+def test_exactmatch_negate_vars(spark):
+    # F13 negation (generate_data_rows.py:296-307): differing
+    # middle names with both present break an exact match; a missing
+    # side does not
+    from namematch_spark.operators.pairs import exactmatch_expr
+    df = spark.createDataFrame(
+        [("A", "A", "B", "B", "J", "K"),
+         ("A", "A", "B", "B", "J", ""),
+         ("A", "A", "B", "B", "J", "J"),
+         ("A", "X", "B", "B", "J", "J")],
+        "first_name_1 string, first_name_2 string, last_name_1 string, "
+        "last_name_2 string, middle_name_1 string, middle_name_2 string")
+    out = df.select(
+        exactmatch_expr(["first_name", "last_name"],
+                        ["middle_name"]).alias("em")).collect()
+    assert [r["em"] for r in out] == [0, 1, 1, 0]

@@ -92,6 +92,12 @@ def test_flipped0_and_selection_model(dr):
     # reference predict.py:231 — weight = (P(s)+1)/(p_selected+1)
     expected = (p_s + 1) / (row["p_selected"] + 1)
     assert abs(row["selection_weight"] - expected) < 1e-12
+    # the weight is consumed as a TRAINING sample weight (reference
+    # sklearn sample_weight): refit with weightCol, still separable
+    from namematch_spark.operators.model import train_match_model
+    m2 = train_match_model(weighted, feature_cols=FEATS, num_trees=5,
+                           weight_col="selection_weight")
+    assert m2.eval_metrics["recall"] == 1.0
 
 
 def test_per_universe_evaluation(dr):
