@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from namematch_spark.operators.pairs import dim_join_side
+
 SMOOTHING = 0.001   # reference nm_prob.py:16
 NGRAM_LEN = 5       # reference nm_prob.py:10
 
@@ -202,10 +204,13 @@ def swap_repair(record_pairs: DataFrame, probs: DataFrame,
     ln1, ln2 = F.col(f"{ln_col}_1"), F.col(f"{ln_col}_2")
     df = (
         record_pairs
-        # per-name probability dim ~ O(distinct names): no broadcast
-        # hint — AQE decides (forced broadcast OOMs the driver at 100x)
-        .join(p1, name_prob_str(fn1, ln1) == F.col("__nps1"), "left")
-        .join(p2, name_prob_str(fn2, ln2) == F.col("__nps2"), "left")
+        # per-name probability dim ~ O(distinct names): strategy via
+        # pairs.dim_join_side (AQE decides when on; explicit broadcast
+        # only under pinned AQE-off plans)
+        .join(dim_join_side(record_pairs, p1),
+              name_prob_str(fn1, ln1) == F.col("__nps1"), "left")
+        .join(dim_join_side(record_pairs, p2),
+              name_prob_str(fn2, ln2) == F.col("__nps2"), "left")
     )
     name_ed = F.levenshtein(F.concat(fn1, ln1), F.concat(fn2, ln2))
     rev_ed = F.levenshtein(F.concat(ln1, fn1), F.concat(fn2, ln2))
@@ -255,9 +260,9 @@ def pctl_pair_features(record_pairs: DataFrame, dims: dict[str, DataFrame],
                             F.col(col).alias("__p2"))
         df = (
             df
-            # percentile dims ~ O(distinct names): AQE decides
-            .join(d1, k1 == F.col("__v1"), "left")
-            .join(d2, k2 == F.col("__v2"), "left")
+            # percentile dims ~ O(distinct names): pairs.dim_join_side
+            .join(dim_join_side(df, d1), k1 == F.col("__v1"), "left")
+            .join(dim_join_side(df, d2), k2 == F.col("__v2"), "left")
             .withColumn(f"diff_count_pctl_{k}",
                         F.abs(F.col("__p1") - F.col("__p2")))
             .withColumn(f"max_count_pctl_{k}",
