@@ -190,13 +190,11 @@ def q_er_potential_links_det(spark, sf):
         "phat", "gt")
 
 
-def q_er_clusters_det(spark, sf):
-    """G1-G5 end-to-end on deterministic edge scores (phat =
-    1 − cos_dist): exercises the auto uid edge veto, CC, component
-    triage AND the greedy constrained replay on every conflict
-    component, value-checked against the recursive-CTE oracle."""
+def _clusters_det(an):
+    """Deterministic-score constrained clustering over an all-names
+    table (shared by the person-records and web-pages variants)."""
     from namematch_spark.operators.cluster import constrained_clusters
-    an = _an(spark, sf).cache()
+    an = an.cache()
     rp = expand_bs_to_record_pairs(
         B.candidate_blockstring_pairs(an), an)
     pot = rp.select(
@@ -206,6 +204,28 @@ def q_er_clusters_det(spark, sf):
     ml = must_links(an).filter(
         (F.col("drop_from_nm_1") == 0) & (F.col("drop_from_nm_2") == 0))
     return constrained_clusters(pot, ml, an, leven_thresh=None)
+
+
+def q_er_clusters_det(spark, sf):
+    """G1-G5 end-to-end on deterministic edge scores (phat =
+    1 − cos_dist): exercises the auto uid edge veto, CC, component
+    triage AND the greedy constrained replay on every conflict
+    component, value-checked against the recursive-CTE oracle."""
+    return _clusters_det(_an(spark, sf))
+
+
+def q_wp_clusters_det(spark, sf):
+    """The NORTH-STAR flow end-to-end, value-checked: web pages
+    (binary html) → Arrow-UDF byte-identical extraction → record parse
+    → preprocess → blocking → deterministic constrained clustering.
+    The extraction round-trips exactly (wp_records oracle), so the
+    clustering oracle is shared with er_clusters_det."""
+    from namematch_spark.sources.webpages import (extract_text_udf,
+                                                  pages_to_records,
+                                                  synth_web_pages)
+    pages = synth_web_pages(spark, sf).drop("text")
+    pages = extract_text_udf(pages)         .withColumnRenamed("extracted_text", "text")
+    return _clusters_det(preprocess(pages_to_records(pages)))
 
 
 def q_er_incremental(spark, sf):
@@ -445,10 +465,18 @@ def q_events_hourly(spark, sf):
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the full record-linkage pipeline at sf0.001 — returns
+    """Flagship: the BASELINE north-star flow at sf0.001 — Common-Crawl-
+    style web pages (binary html) → byte-identical Arrow-UDF text
+    extraction → person-record parse → the full record-linkage pipeline
+    (blocking → pairwise RF scoring → constrained clustering); returns
     the (record_id, cluster_id) assignment."""
     from namematch_spark.pipeline import run_pipeline
-    res = run_pipeline(person_records(spark, "/root/testdata/sf0.001"))
+    from namematch_spark.sources.webpages import (extract_text_udf,
+                                                  pages_to_records,
+                                                  synth_web_pages)
+    pages = synth_web_pages(spark, "/root/testdata/sf0.001")         .drop("text")
+    pages = extract_text_udf(pages)         .withColumnRenamed("extracted_text", "text")
+    res = run_pipeline(pages_to_records(pages))
     return res.clusters
 
 
@@ -470,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_potential_links_det": q_er_potential_links_det,
         "er_clusters": q_er_clusters,
         "er_clusters_det": q_er_clusters_det,
+        "wp_clusters_det": q_wp_clusters_det,
         "er_incremental": q_er_incremental,
         "er_output": q_er_output,
         # config-driven schema layer
@@ -516,6 +545,9 @@ def oracle_sql() -> dict[str, str]:
         # deterministic scores
         "er_potential_links_det": oracles.er_potential_links_det(),
         "er_clusters_det": oracles.er_clusters_det(),
+        # same oracle: extraction round-trips byte-identically, so the
+        # web-page flow must produce the very same clusters
+        "wp_clusters_det": oracles.er_clusters_det(),
         "er_incremental": oracles.er_incremental(),
         "er_output": oracles.er_output(),
         "er_config_preprocess": oracles.er_config_preprocess(),

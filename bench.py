@@ -94,6 +94,14 @@ def scaled_person_records(spark, sf_dir: str, copies: int):
     u = parts[0]
     for p in parts[1:]:
         u = u.union(p)
+    # Spread BEFORE the person derivation: the orders parquet is a
+    # single small file (1 scan task per copy), and every narrow op
+    # before the first exchange runs in that scan stage — without this
+    # the whole regex-heavy derivation executes on <= `copies` tasks
+    # regardless of cores, a pure Amdahl serial term (measured ~95 s
+    # serial in the 2->8 scaling fit).  Same rule at 100 TB: repartition
+    # small dimension scans before fanning heavy derivations off them.
+    u = u.repartition(spark.sparkContext.defaultParallelism * 2)
     u.createOrReplaceTempView("__nm_orders_scaled")
     return spark.sql(PERSON_RECORDS_SQL.format(orders="__nm_orders_scaled"))
 
@@ -116,12 +124,16 @@ def blocking_scoring_job(spark, sf_dir: str,
         records = scaled_person_records(spark, sf_dir, copies)
     else:
         records = person_records(spark, sf_dir)
+        # same narrow-chain rule as scaled_person_records: spread the
+        # single-file scan before the derivation + preprocess chain
+        records = records.repartition(
+            spark.sparkContext.defaultParallelism * 2)
     # stage materialization mirrors the pipeline's checkpointing: the
     # feature plan consumes record_pairs three times (base + two
     # distinct-string-pair metric dims), so the expansion is cached;
-    # spread the single-file input across cores before the heavy chain
-    parts = spark.sparkContext.defaultParallelism * 2
-    an = preprocess(records).repartition(parts).cache()
+    # the input was already spread BEFORE the derivation above, so no
+    # second repartition (it would just re-shuffle the same partitioning)
+    an = preprocess(records).cache()
     cand = B.candidate_blockstring_pairs(an).cache()
     rp = expand_bs_to_record_pairs(cand, an).cache()
     dr = pair_features(rp, leven_thresh=1)
@@ -145,7 +157,11 @@ def scaling_worker(cores: int, outfile: str) -> None:
     JIT + codegen compile are one-time per JVM and a production cluster
     runs warm — then the timed job over the replicated input."""
     spark = make_spark(cores, aqe=False)
-    blocking_scoring_job(spark, "/root/testdata/sf0.001")   # warmup
+    # warm with the SAME plan shape as the timed job (copies>1 switches
+    # to the scaled-union derivation — warming with copies=1 would
+    # leave that plan's codegen compile inside the timed region)
+    blocking_scoring_job(spark, "/root/testdata/sf0.001",
+                         copies=SCALE_COPIES)                 # warmup
     n, dt = blocking_scoring_job(spark, SF_DIR, copies=SCALE_COPIES)
     spark.stop()
     with open(outfile, "w") as f:
