@@ -36,11 +36,14 @@ SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH",
                                 str(min(SCALE_LOW * 4, CPUS))))
 #: Deterministic input replication for the scaling job: the sf0.1
 #: person table alone finishes in ~30 s — too latency-bound for a
-#: 4x-cores comparison to measure compute scaling.  COPIES=3 yields a
-#: ~5x-pairs job at identical semantics (same name pools, new
-#: deterministic entities per copy), per the BASELINE.md protocol
-#: (deterministic synthetic input, identical at both levels).
-SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "3"))
+#: 4x-cores comparison to measure compute scaling.  COPIES=4 (same
+#: name pools, new deterministic entities per copy — BASELINE.md
+#: protocol: deterministic synthetic input, identical at both levels)
+#: makes the job compute-dominated enough that the residual ~70 s of
+#: serial driver work (plan optimization + broadcast relation builds,
+#: constant per run) stays under the 20% Amdahl budget of the 0.8
+#: efficiency target; measured 2->8 fit: S≈73 s, P≈1447 s at COPIES=3.
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "4"))
 
 
 def log(msg: str) -> None:
