@@ -94,7 +94,9 @@ def incremental_lsh_candidates(nn_stats: DataFrame, index_path: str,
             .filter(F.col("l.nn_string") < F.col("r.nn_string"))
             .select(F.col("l.nn_string").alias("nn_string_1"),
                     F.col("r.nn_string").alias("nn_string_2"))
-            .dropDuplicates(["nn_string_1", "nn_string_2"]))
+            .dropDuplicates(["nn_string_1", "nn_string_2"])
+            .localCheckpoint(eager=True))
+        pruned.unpersist()
         n = all_names.count()
         return pairs, {"mode": "full", "n_queried": n,
                        "n_index": n}
@@ -143,5 +145,6 @@ def incremental_lsh_candidates(nn_stats: DataFrame, index_path: str,
     # persist the secondary rows so batch N+2 treats them as existing
     second_band.write.mode("append").partitionBy("band") \
         .parquet(index_path)
+    q_band.unpersist()
     return pairs, {"mode": "incremental", "n_queried": n_queried,
                    "n_new_names": second_names.count()}
