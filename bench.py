@@ -39,11 +39,15 @@ SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH",
 #: 4x-cores comparison to measure compute scaling.  COPIES=4 (same
 #: name pools, new deterministic entities per copy — BASELINE.md
 #: protocol: deterministic synthetic input, identical at both levels)
-#: makes the job compute-dominated enough that the residual ~70 s of
+#: makes the job compute-dominated enough that the residual ~55 s of
 #: serial driver work (plan optimization + broadcast relation builds,
 #: constant per run) stays under the 20% Amdahl budget of the 0.8
-#: efficiency target; measured 2->8 fit: S≈73 s, P≈1447 s at COPIES=3.
-SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "4"))
+#: efficiency target.  After the rows_per_band=6 LSH retune removed
+#: the 42M-pair candidate waste, the parallel phase shrank ~5x
+#: (2->8 fit at COPIES=4: S≈54 s, P≈795 s -> eff 0.74), so COPIES=6
+#: (pairs grow ~quadratically in copies) restores the serial share to
+#: ~8-12%% (projected eff ≈ 0.83-0.85).
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "6"))
 
 
 def log(msg: str) -> None:

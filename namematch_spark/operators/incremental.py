@@ -45,7 +45,7 @@ def index_exists(path: str) -> bool:
 
 def build_blocking_index(nn: DataFrame, path: str,
                          num_hashes: int = DEFAULT_NUM_HASHES,
-                         rows_per_band: int = 4) -> DataFrame:
+                         rows_per_band: int = 6) -> DataFrame:
     """Full (re)build: write every name's band rows
     (``save_main_index``, ``block.py:1432-1445``)."""
     band = lsh_band_rows(nn, num_hashes=num_hashes,
@@ -60,7 +60,7 @@ def load_blocking_index(spark: SparkSession, path: str) -> DataFrame:
 
 def incremental_lsh_candidates(nn_stats: DataFrame, index_path: str,
                                num_hashes: int = DEFAULT_NUM_HASHES,
-                               rows_per_band: int = 4,
+                               rows_per_band: int = 6,
                                max_bucket: int = 2000,
                                secondary_limit: int = 500_000,
                                ) -> tuple[DataFrame, dict]:

@@ -35,7 +35,7 @@ class PipelineConfig:
     leven_thresh: int | None = 1
     bars: dict | None = None       # blocking bars (blocking.DEFAULT_BARS)
     num_hashes: int = 24
-    rows_per_band: int = 4
+    rows_per_band: int = 6
     num_trees: int = 100
     #: name-probability stage: count-percentile features + first/last
     #: swap repair (reference ``generate_data_rows.py:226-259``).

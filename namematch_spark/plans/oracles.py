@@ -157,7 +157,7 @@ det_pairs AS (
 """
 
 
-def lsh_pairs_cte(num_hashes: int = 24, rows_per_band: int = 4,
+def lsh_pairs_cte(num_hashes: int = 24, rows_per_band: int = 6,
                   source: str = "nn", relabel: bool = False) -> str:
     """Name-shingle minhash LSH candidate pairs, mirroring
     ``blocking.lsh_candidates`` exactly (band key = '_'-joined minhash
@@ -463,7 +463,7 @@ SELECT nn_string_1, nn_string_2 FROM det_pairs
 """
 
 
-def er_lsh_candidates(num_hashes: int = 24, rows_per_band: int = 4) -> str:
+def er_lsh_candidates(num_hashes: int = 24, rows_per_band: int = 6) -> str:
     return f"""
 WITH person AS ({PERSON}),
 {AN.strip()},
