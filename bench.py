@@ -36,17 +36,18 @@ SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH",
                                 str(min(SCALE_LOW * 4, CPUS))))
 #: Deterministic input replication for the scaling job: the sf0.1
 #: person table alone finishes in ~30 s — too latency-bound for a
-#: 4x-cores comparison to measure compute scaling.  COPIES=4 (same
+#: 4x-cores comparison to measure compute scaling.  Replication (same
 #: name pools, new deterministic entities per copy — BASELINE.md
 #: protocol: deterministic synthetic input, identical at both levels)
-#: makes the job compute-dominated enough that the residual ~55 s of
-#: serial driver work (plan optimization + broadcast relation builds,
+#: makes the job compute-dominated enough that the residual serial
+#: driver work (plan optimization + broadcast relation builds,
 #: constant per run) stays under the 20% Amdahl budget of the 0.8
-#: efficiency target.  After the rows_per_band=6 LSH retune removed
-#: the 42M-pair candidate waste, the parallel phase shrank ~5x
-#: (2->8 fit at COPIES=4: S≈54 s, P≈795 s -> eff 0.74), so COPIES=6
-#: (pairs grow ~quadratically in copies) restores the serial share to
-#: ~8-12%% (projected eff ≈ 0.83-0.85).
+#: efficiency target.  History: r2 measured eff 0.814 at COPIES=3;
+#: the r3 rows_per_band=6 LSH retune shrank the parallel phase ~5x
+#: and COPIES=6 measured eff 0.665 (2->8 fit: S≈131 s, P≈1296 s in
+#: 1-core units) — the serial term roughly doubled vs the r2 fit.
+#: r4 attacks S directly (single-subtree explode replication, lineage
+#: truncation at stage boundaries) instead of growing COPIES further.
 SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "6"))
 
 
@@ -91,16 +92,19 @@ def scaled_person_records(spark, sf_dir: str, copies: int):
     from namematch_spark.sources.records import PERSON_RECORDS_SQL
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
         .select("o_orderkey", "o_custkey")
-    parts = []
-    for c in range(copies):
-        parts.append(orders.select(
-            (F.col("o_orderkey") + F.lit(c * 3_300_000_000)).alias(
-                "o_orderkey"),
-            (F.col("o_custkey") + F.lit(c * 1_000_003)).alias(
-                "o_custkey")))
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.union(p)
+    # ONE replication subtree (explode over a copy-index sequence), not
+    # a copies-way union: the driver analyzes/optimizes a single scan +
+    # generate instead of `copies` scan branches — plan size (and the
+    # serial optimization constant) stays flat as copies grows.  Same
+    # offsets as before, so the output rows are identical.
+    u = (orders
+         .withColumn("__c", F.explode(
+             F.sequence(F.lit(0), F.lit(copies - 1))))
+         .select(
+             (F.col("o_orderkey")
+              + F.col("__c") * F.lit(3_300_000_000)).alias("o_orderkey"),
+             (F.col("o_custkey")
+              + F.col("__c") * F.lit(1_000_003)).alias("o_custkey")))
     # Spread BEFORE the person derivation: the orders parquet is a
     # single small file (1 scan task per copy), and every narrow op
     # before the first exchange runs in that scan stage — without this
@@ -201,21 +205,27 @@ def main() -> None:
     # throughput is the standard least-noise estimator of machine
     # capability, and alternation keeps slow drift from biasing one
     # level.
-    attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "2"))
+    attempts = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS",
+                                         "2")))
     order: list[int] = []
     for i in range(attempts):
         pair = [SCALE_LOW, SCALE_HIGH]
         order += pair if i % 2 == 0 else pair[::-1]
     best: dict[int, tuple[float, int, float]] = {}
-    for cores in order:
-        if len(best) == 2:
+    for run_idx, cores in enumerate(order):
+        # early exit only at COMPLETE (low, high) pair boundaries:
+        # checking mid-pair would compare best-of-k high against
+        # best-of-(k-1) low — a one-sided selection bias that can only
+        # inflate the reported efficiency (ADVICE r3)
+        if run_idx % 2 == 0 and len(best) == 2:
             eff_so_far = (best[SCALE_HIGH][0] / best[SCALE_LOW][0]) \
                 / (SCALE_HIGH / SCALE_LOW)
             if eff_so_far >= 0.8:
-                # first pair already shows clean scaling — a retry can
-                # only confirm it; save the ~20 min
+                # complete pairs already show clean scaling — a retry
+                # can only confirm it; save the ~20 min
                 log(f"[bench] scaling eff {eff_so_far:.3f} >= 0.8 "
-                    "after first pair; skipping remaining attempts")
+                    f"after {run_idx // 2} complete pair(s); skipping "
+                    "remaining attempts")
                 break
         log(f"[bench] blocking+scoring x{SCALE_COPIES} at "
             f"local[{cores}] (fresh JVM, warm) ...")

@@ -68,7 +68,11 @@ def read_data_file(spark, spec) -> "DataFrame":
     path = spec.filepath
     if path.endswith(".parquet"):
         return spark.read.parquet(path)
-    return spark.read.option("header", True).csv(path)
+    # honor the config's declared delimiter (reference data_files.delim;
+    # ADVICE r3: ignoring it misparses every column into one field)
+    return (spark.read.option("header", True)
+            .option("sep", getattr(spec, "delim", ",") or ",")
+            .csv(path))
 
 
 def standardize(an, schema):

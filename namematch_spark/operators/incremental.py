@@ -37,25 +37,69 @@ from namematch_spark.operators.blocking import (DEFAULT_NUM_HASHES,
                                                 lsh_band_rows)
 
 
+#: Index layout: ``{path}/base`` (full build) plus zero or more
+#: committed ``{path}/batch_NNNN`` increments.  Each increment is
+#: written to a ``{path}/_tmp_*`` staging dir first and promoted with
+#: an atomic ``os.rename`` only AFTER the caller's batch output is
+#: materialized — a crashed/partial append leaves only a ``_tmp_*``
+#: dir the loader never reads, so band rows can never be duplicated
+#: toward the ``max_bucket`` drop threshold (ADVICE r3).  On a real
+#: cluster the same protocol is a cheap object-store prefix commit.
+
+def _committed_dirs(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        os.path.join(path, d) for d in os.listdir(path)
+        if (d == "base" or d.startswith("batch_"))
+        and os.path.isdir(os.path.join(path, d)))
+
+
 def index_exists(path: str) -> bool:
-    return os.path.isdir(path) and bool(
-        [f for f in os.listdir(path) if f.endswith(".parquet")
-         or f == "_SUCCESS"])
+    return any(d.endswith("/base") for d in _committed_dirs(path))
 
 
 def build_blocking_index(nn: DataFrame, path: str,
                          num_hashes: int = DEFAULT_NUM_HASHES,
                          rows_per_band: int = 6) -> DataFrame:
     """Full (re)build: write every name's band rows
-    (``save_main_index``, ``block.py:1432-1445``)."""
+    (``save_main_index``, ``block.py:1432-1445``).  A rebuild clears
+    prior increments — the new base supersedes them."""
+    import shutil
     band = lsh_band_rows(nn, num_hashes=num_hashes,
                          rows_per_band=rows_per_band)
-    band.write.mode("overwrite").partitionBy("band").parquet(path)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    band.write.mode("overwrite").partitionBy("band") \
+        .parquet(os.path.join(path, "base"))
     return band
 
 
+def _commit_increment(df: DataFrame, path: str) -> None:
+    """Stage-then-rename append of secondary band rows."""
+    import uuid
+    staging = os.path.join(path, f"_tmp_{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").partitionBy("band").parquet(staging)
+    n = len([d for d in os.listdir(path) if d.startswith("batch_")])
+    while True:
+        final = os.path.join(path, f"batch_{n:04d}")
+        try:
+            os.rename(staging, final)
+            return
+        except OSError:
+            n += 1
+
+
 def load_blocking_index(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    # one read per committed dir (each with its own band=… partition
+    # discovery), unioned — a single multi-root read would conflict on
+    # the differing directory structures; partition pruning on ``band``
+    # still reaches every branch of the union
+    dirs = _committed_dirs(path)
+    df = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        df = df.unionByName(spark.read.parquet(d))
+    return df
 
 
 def incremental_lsh_candidates(nn_stats: DataFrame, index_path: str,
@@ -137,14 +181,14 @@ def incremental_lsh_candidates(nn_stats: DataFrame, index_path: str,
                 .alias("nn_string_2"))
         .dropDuplicates(["nn_string_1", "nn_string_2"]))
 
-    # materialize BEFORE appending to the index: the parquet scan under
-    # ``main`` lists files lazily, so appending first would make the
-    # pairs plan read the new rows twice (once via the union, once via
-    # the appended files)
+    # materialize BEFORE committing to the index: the parquet scan
+    # under ``main`` lists files lazily, so committing first would make
+    # the pairs plan read the new rows twice (once via the union, once
+    # via the new files) — and a failure before this point must leave
+    # the index untouched (stage-then-rename, see _commit_increment)
     pairs = pairs.localCheckpoint(eager=True)
     # persist the secondary rows so batch N+2 treats them as existing
-    second_band.write.mode("append").partitionBy("band") \
-        .parquet(index_path)
+    _commit_increment(second_band, index_path)
     q_band.unpersist()
     return pairs, {"mode": "incremental", "n_queried": n_queried,
                    "n_new_names": second_names.count()}

@@ -253,14 +253,19 @@ def run_pipeline(records: DataFrame,
                               candidate_nn_pairs=cand, data_rows=dr,
                               model=model_set.basic,
                               potential_links=pl)
+    cluster_metrics: dict = {}
     clusters = stage("clusters", lambda: constrained_clusters(
         pl, ml_clean, an, leven_thresh=cfg.leven_thresh,
         is_valid_cluster=cfg.is_valid_cluster,
         constraints=cfg.constraints,
-        allow_multiple_uids=cfg.allow_clusters_w_multiple_unique_ids),
+        allow_multiple_uids=cfg.allow_clusters_w_multiple_unique_ids,
+        metrics=cluster_metrics),
         ["potential_links", "must_links"])
 
     metrics = {
+        # oversized-fallback counts (0 unless a dirty component blew
+        # past max_component and skipped the constraint replay)
+        **cluster_metrics,
         "model": model.eval_metrics,
         "threshold": model.threshold,
         "models": {name: {"threshold": mm.threshold,
