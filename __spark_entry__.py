@@ -246,6 +246,32 @@ def q_er_incremental(spark, sf):
     return constrained_clusters(empty, ml, an, eid_col="eid")
 
 
+def q_er_incremental_block(spark, sf):
+    """Incremental blocking end-to-end (X10, reference
+    ``block.py:467-532``): month-1 index prebuilt from the 'existing'
+    records' name variants, month-2 candidates generated via
+    :func:`incremental_blockstring_pairs`.  Value contract: equals the
+    full rebuild's blockstring pairs restricted to pairs touching a
+    new-record name (the oracle applies exactly that restriction to
+    the full-path SQL)."""
+    import tempfile
+
+    from namematch_spark.operators.incremental import (
+        build_blocking_index, incremental_blockstring_pairs)
+    is_new = F.expr(
+        "try_cast(substring(record_id, 6) as bigint) % 5 = 0")
+    an = _an(spark, sf).withColumn(
+        "file_type", F.when(is_new, "new").otherwise("existing"))
+    exist = an.filter(F.col("file_type") == "existing")
+    var_e = (B.name_variants(B.nn_strings(exist))
+             .select("nn_string").distinct())
+    idx = tempfile.mkdtemp(prefix="nm_inc_idx_")
+    build_blocking_index(var_e, idx)
+    bs, _info = incremental_blockstring_pairs(an, idx)
+    return bs.select("blockstring_1", "blockstring_2",
+                     F.round("cos_dist", 6).alias("cos_dist"))
+
+
 def q_er_output(spark, sf):
     # output stage (S8/G5) over the deterministic must-link clustering,
     # so the raw-value restore + cluster join are fully oracle-checkable
@@ -500,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_clusters_det": q_er_clusters_det,
         "wp_clusters_det": q_wp_clusters_det,
         "er_incremental": q_er_incremental,
+        "er_incremental_block": q_er_incremental_block,
         "er_output": q_er_output,
         # config-driven schema layer
         "er_config_preprocess": q_er_config_preprocess,
@@ -549,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
         # web-page flow must produce the very same clusters
         "wp_clusters_det": oracles.er_clusters_det(),
         "er_incremental": oracles.er_incremental(),
+        "er_incremental_block": oracles.er_incremental_block(),
         "er_output": oracles.er_output(),
         "er_config_preprocess": oracles.er_config_preprocess(),
         "er_blockstats_ft": oracles.er_blockstats_ft(),

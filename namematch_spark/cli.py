@@ -125,6 +125,12 @@ def cmd_stage(args, stop_after: str | None, with_output: bool) -> int:
         allow_clusters_w_multiple_unique_ids=cfg_dict.get(
             "allow_clusters_w_multiple_unique_ids", False),
         evaluate=cfg_dict.get("evaluate", False),
+        # incremental mode: --index-dir (or config key) switches the
+        # candidates stage to the persisted blocking index, and an
+        # ExistingID variable keeps prior cluster ids stable
+        incremental_index_dir=(args.index_dir
+                               or cfg_dict.get("incremental_index_dir")),
+        existing_id_col=schema.existing_id_var(),
         checkpoint_dir=ckpt_dir,
     )
 
@@ -153,6 +159,18 @@ def cmd_stage(args, stop_after: str | None, with_output: bool) -> int:
             "stage": stop_after or "all",
             "metrics": res.metrics or {},
         }
+        if stop_after is None and res.clusters is not None:
+            # stage 9: report artifact (reference generate_report.py:
+            # 34-55 renders matching_report.html every full run; its
+            # e2e test asserts existence).  generate_report also
+            # writes the richer nm_info.json (stage counts, phat
+            # histogram, cluster sizes) — merge our run metadata in.
+            from namematch_spark.operators.report import generate_report
+            info["report"] = generate_report(res, args.output_dir)
+            rich = os.path.join(args.output_dir, "nm_info.json")
+            if os.path.isfile(rich):
+                with open(rich) as f:
+                    info = {**json.load(f), **info}
         with open(os.path.join(args.output_dir, "nm_info.json"),
                   "w") as f:
             json.dump(info, f, indent=2, default=str)
@@ -176,6 +194,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default=None,
                    help="checkpoint dir (default: "
                         "<output-dir>/checkpoints)")
+    p.add_argument("--index-dir", default=None,
+                   help="persisted blocking-index dir — enables "
+                        "incremental blocking (first run builds it; "
+                        "later runs query only new names)")
     p.add_argument("-f", "--force", action="store_true",
                    help="discard existing checkpoints and recompute")
     p.add_argument("--master", default="local[*]",

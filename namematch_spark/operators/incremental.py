@@ -83,11 +83,11 @@ def _commit_increment(df: DataFrame, path: str) -> None:
     n = len([d for d in os.listdir(path) if d.startswith("batch_")])
     while True:
         final = os.path.join(path, f"batch_{n:04d}")
-        try:
-            os.rename(staging, final)
-            return
-        except OSError:
+        if os.path.exists(final):    # concurrent batch took this slot
             n += 1
+            continue
+        os.rename(staging, final)
+        return
 
 
 def load_blocking_index(spark: SparkSession, path: str) -> DataFrame:
@@ -192,3 +192,74 @@ def incremental_lsh_candidates(nn_stats: DataFrame, index_path: str,
     q_band.unpersist()
     return pairs, {"mode": "incremental", "n_queried": n_queried,
                    "n_new_names": second_names.count()}
+
+
+def incremental_blockstring_pairs(all_names: DataFrame,
+                                  index_path: str,
+                                  bars: dict | None = None,
+                                  num_hashes: int = DEFAULT_NUM_HASHES,
+                                  rows_per_band: int = 6,
+                                  max_penalty: float = 0.1,
+                                  secondary_limit: int = 500_000,
+                                  ) -> tuple[DataFrame, dict]:
+    """Incremental stage-3 blocking for the pipeline (reference
+    ``block.py:467-532`` query-only-new-names composed with the full
+    bar chain of ``candidate_blockstring_pairs``).
+
+    ``all_names`` must carry ``file_type`` (P2): names appearing in a
+    ``file_type == 'new'`` record are the query set.  The LSH leg runs
+    over the persisted band-row index (split-name variants included,
+    matching the full path's recall), and the deterministic-phonetic +
+    exact legs are restricted to pairs touching a queried name — so a
+    month-2 batch's blocking cost scales with the batch, not the
+    corpus, while the emitted pairs are exactly the full rebuild's
+    pairs restricted to those touching a new name.
+
+    Returns ``(blockstring_pairs, info)`` with ``info`` from
+    :func:`incremental_lsh_candidates` (mode / n_queried / …).
+    """
+    from namematch_spark.operators import blocking as B
+
+    nn = B.nn_strings(all_names)
+    # scoped cache: consumed by vstats and both relabel joins; released
+    # with the other blocking caches at the pipeline stage boundary
+    variants = B._scoped_cache(B.name_variants(nn))
+    new_full = (
+        all_names
+        .filter((F.col("drop_from_nm") == 0)
+                & (F.col("file_type") == "new"))
+        .withColumn("nn_string",
+                    F.concat_ws(" ", "first_name", "last_name"))
+        .select("nn_string").distinct())
+    # variant-level stats: a VARIANT is "new" iff any of its full
+    # names appears in a new record (the index is keyed on variants so
+    # split-name recall matches the full path)
+    vstats = (
+        variants
+        .join(new_full.withColumnRenamed("nn_string", "full")
+              .withColumn("__new", F.lit(1)), "full", "left")
+        .groupBy("nn_string")
+        .agg(F.max(F.coalesce(F.col("__new"), F.lit(0)))
+             .alias("n_new"),
+             F.count("*").alias("n_total"))
+        .withColumn("n_existing", F.col("n_total") - F.col("n_new")))
+    pairs_v, info = incremental_lsh_candidates(
+        vstats, index_path, num_hashes=num_hashes,
+        rows_per_band=rows_per_band, secondary_limit=secondary_limit)
+    # relabel variant pairs back to FULL-name canonical pairs (what
+    # lsh_candidates does internally on the full path)
+    v1 = variants.select(F.col("nn_string").alias("nn_string_1"),
+                         F.col("full").alias("__f1"))
+    v2 = variants.select(F.col("nn_string").alias("nn_string_2"),
+                         F.col("full").alias("__f2"))
+    lsh_full = (
+        pairs_v.join(v1, "nn_string_1").join(v2, "nn_string_2")
+        .select(F.least("__f1", "__f2").alias("nn_string_1"),
+                F.greatest("__f1", "__f2").alias("nn_string_2"))
+        .filter(F.col("nn_string_1") != F.col("nn_string_2"))
+        .dropDuplicates(["nn_string_1", "nn_string_2"]))
+    bs = B.candidate_blockstring_pairs(
+        all_names, bars=bars, num_hashes=num_hashes,
+        rows_per_band=rows_per_band, max_penalty=max_penalty,
+        lsh_pairs=lsh_full, restrict_names=new_full)
+    return bs, info

@@ -12,9 +12,11 @@ into the scoring stage automatically via ``model.transform`` (the
 BASELINE.json "broadcast of the classifier model" requirement is what
 MLlib does under the hood).
 
-Hyperparameters mirror the reference where MLlib has an equivalent:
-200 trees, ``minInstancesPerNode=25`` (the reference grid-searches
-{25, 150}, ``fit_model.py:278-299``).
+Hyperparameters mirror the reference where MLlib has an equivalent,
+including the reference's ``min_samples_leaf ∈ {25, 150}`` 3-fold CV
+grid (``fit_model.py:278-299``) via MLlib ``CrossValidator`` over
+``minInstancesPerNode`` (``grid_min_instances=GRID_MIN_INSTANCES``;
+single-point [25] by default to keep the bench path at one fit).
 
 Missing feature values (NULL, from either-side-missing pairs) are imputed
 to ``-1.0``; the explicit ``var_<v>_missing`` indicators preserve the
@@ -93,12 +95,21 @@ def _assemble(df: DataFrame, feature_cols: list[str]) -> DataFrame:
     return asm.transform(filled)
 
 
+#: The reference's hyperparameter grid (``fit_model.py:278-299``:
+#: ``GridSearchCV(cv=3, param_grid={'min_samples_leaf': [25, 150]},
+#: scoring='f1')``); MLlib's ``minInstancesPerNode`` is the same knob.
+GRID_MIN_INSTANCES = [25, 150]
+GRID_CV_FOLDS = 3
+
+
 def train_match_model(data_rows: DataFrame,
                       feature_cols: list[str] | None = None,
                       num_trees: int = 100,
                       beta: float = 0.5,
                       default_threshold: float = 0.5,
-                      weight_col: str | None = None) -> MatchModel:
+                      weight_col: str | None = None,
+                      grid_min_instances: list[int] | None = None
+                      ) -> MatchModel:
     """M1 + W5 + W6 + M5 — fit the RF on labeled pairs, pick the
     F_beta-optimal threshold on a held-out split.
 
@@ -110,6 +121,13 @@ def train_match_model(data_rows: DataFrame,
     model's ``selection_weight`` goes here (``(P(s)+1)/(p_selected+1)``,
     reference ``predict.py:229-233`` + sklearn ``sample_weight`` in
     ``fit_model.py``).
+    ``grid_min_instances``: >1 values run the reference's 3-fold CV
+    grid over ``minInstancesPerNode`` (:data:`GRID_MIN_INSTANCES` =
+    the reference grid) via MLlib ``CrossValidator``; the winning value
+    and per-point CV F1 land in ``eval_metrics["grid"]``.  One value
+    (default [25], the reference grid's usual winner) skips the CV —
+    the bench/contract configuration, where the 6 extra fits would
+    only re-pick 25.
     """
     if feature_cols is None:
         feature_cols = FEATURE_COLS
@@ -124,13 +142,40 @@ def train_match_model(data_rows: DataFrame,
     train = labeled.filter(bucket < int(PCT_TRAIN * 10))
     eval_ = labeled.filter(bucket >= int(PCT_TRAIN * 10))
 
+    if not grid_min_instances:
+        grid_min_instances = [25]
     assembled = _assemble(train, feature_cols)
     rf = RandomForestClassifier(
         featuresCol="features", labelCol="y",
-        numTrees=num_trees, minInstancesPerNode=25, maxDepth=12,
+        numTrees=num_trees, maxDepth=12,
+        minInstancesPerNode=grid_min_instances[0],
         seed=SEED, subsamplingRate=0.8,
         **({"weightCol": weight_col} if weight_col else {}))
-    model = rf.fit(assembled)
+    grid_info: dict | None = None
+    if len(grid_min_instances) > 1:
+        from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+        from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+        pgrid = (ParamGridBuilder()
+                 .addGrid(rf.minInstancesPerNode, grid_min_instances)
+                 .build())
+        # binary F1 of the positive class = sklearn scoring='f1'
+        ev = MulticlassClassificationEvaluator(
+            labelCol="y", predictionCol="prediction",
+            metricName="fMeasureByLabel", metricLabel=1.0, beta=1.0)
+        cv = CrossValidator(estimator=rf, estimatorParamMaps=pgrid,
+                            evaluator=ev, numFolds=GRID_CV_FOLDS,
+                            parallelism=4, seed=SEED)
+        cvm = cv.fit(assembled)
+        model = cvm.bestModel
+        grid_info = {
+            "param": "minInstancesPerNode",
+            "grid": list(grid_min_instances),
+            "cv_f1": [round(m, 6) for m in cvm.avgMetrics],
+            "chosen": model.getMinInstancesPerNode(),
+            "folds": GRID_CV_FOLDS,
+        }
+    else:
+        model = rf.fit(assembled)
 
     # ---- threshold sweep on the held-out split (driver-side histogram,
     # additionally keyed by the exactmatch flag so the M5 universe
@@ -184,6 +229,8 @@ def train_match_model(data_rows: DataFrame,
         t = round(t - 0.01, 2)
     metrics = _metrics_at(best_t, None)
     metrics["threshold"] = best_t
+    if grid_info is not None:
+        metrics["grid"] = grid_info
     metrics["universes"] = {
         "all pairs": _metrics_at(best_t, None),
         "exactmatch pairs": _metrics_at(best_t, 1),
@@ -225,7 +272,9 @@ def train_model_set(data_rows: DataFrame,
                     feature_cols: list[str] | None = None,
                     missing_field: str | None = "dob",
                     num_trees: int = 100,
-                    beta: float = 0.5) -> ModelSet:
+                    beta: float = 0.5,
+                    grid_min_instances: list[int] | None = None
+                    ) -> ModelSet:
     """M1 + M2 — train the basic model and (when ``missing_field``
     features exist) the missingness model.  Same training universe for
     both (the reference's explicit assumption, ``fit_model.py:583``);
@@ -235,7 +284,7 @@ def train_model_set(data_rows: DataFrame,
         feature_cols = FEATURE_COLS
     models = {"basic": train_match_model(
         data_rows, feature_cols=feature_cols, num_trees=num_trees,
-        beta=beta)}
+        beta=beta, grid_min_instances=grid_min_instances)}
     if missing_field is not None \
             and f"var_{missing_field}_missing" in data_rows.columns:
         excl = [c for c in feature_cols
@@ -244,7 +293,8 @@ def train_model_set(data_rows: DataFrame,
         models[f"no_{missing_field}"] = train_match_model(
             data_rows, feature_cols=cols2, num_trees=num_trees,
             beta=beta,
-            default_threshold=0.5 + MISSINGNESS_THRESHOLD_BOOST)
+            default_threshold=0.5 + MISSINGNESS_THRESHOLD_BOOST,
+            grid_min_instances=grid_min_instances)
     else:
         # No missingness model trained: route everything to "basic".
         # Keeping a missing_field here would make score_with_model_set

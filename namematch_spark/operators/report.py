@@ -74,14 +74,15 @@ def generate_report(result, out_dir: str) -> str:
                      f"precision {m.get('precision')}, "
                      f"recall {m.get('recall')}")
         # M5 universe splits (model_evaluation_functions.py:266-329):
-        # exactmatch pairs are where a linkage model degrades silently
+        # exactmatch pairs are where a linkage model degrades silently.
+        # Always rendered (n=0 shows as empty) — the report's contract
+        # is the 3-universe block, like the reference notebook.
         for univ, um in m.get("universes", {}).items():
-            if um.get("n_eval"):
-                lines.append(
-                    f"    - {univ}: precision {um.get('precision')}, "
-                    f"recall {um.get('recall')}, "
-                    f"baserate {um.get('baserate')}, "
-                    f"n={um['n_eval']}")
+            lines.append(
+                f"    - {univ}: precision {um.get('precision')}, "
+                f"recall {um.get('recall')}, "
+                f"baserate {um.get('baserate')}, "
+                f"n={um.get('n_eval', 0)}")
     if "pairwise" in metrics:
         pw = metrics["pairwise"]
         lines += ["", "## Pairwise evaluation (labeled pairs)", "",
@@ -98,4 +99,53 @@ def generate_report(result, out_dir: str) -> str:
     path = os.path.join(out_dir, "matching_report.md")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+    # the reference's e2e contract is an HTML artifact
+    # (``generate_report.py:34-55`` renders a papermill notebook;
+    # ``tests/unit/test_namematcher.py:6-20`` asserts it exists) — emit
+    # the same content as standalone HTML from the markdown lines
+    with open(os.path.join(out_dir, "matching_report.html"), "w") as f:
+        f.write(_md_to_html(lines))
     return path
+
+
+def _md_to_html(lines: list[str]) -> str:
+    """Minimal renderer for the report's own markdown subset
+    (headings + nested bullet lists + bold) — no external deps."""
+    import html as _h
+    out = ["<!DOCTYPE html><html><head><meta charset='utf-8'>"
+           "<title>Matching report</title>"
+           "<style>body{font-family:sans-serif;max-width:60em;"
+           "margin:2em auto}li{margin:2px 0}</style></head><body>"]
+    depth = 0
+
+    def close_lists(to: int) -> None:
+        nonlocal depth
+        while depth > to:
+            out.append("</ul>")
+            depth -= 1
+
+    for ln in lines:
+        stripped = ln.lstrip()
+        indent = (len(ln) - len(stripped)) // 4
+        if stripped.startswith("#"):
+            close_lists(0)
+            level = len(stripped) - len(stripped.lstrip("#"))
+            text = _h.escape(stripped[level:].strip())
+            out.append(f"<h{level}>{text}</h{level}>")
+        elif stripped.startswith("- "):
+            while depth < indent + 1:
+                out.append("<ul>")
+                depth += 1
+            close_lists(indent + 1)
+            text = _h.escape(stripped[2:])
+            # **bold** spans
+            while "**" in text:
+                text = text.replace("**", "<b>", 1) \
+                    .replace("**", "</b>", 1)
+            out.append(f"<li>{text}</li>")
+        elif stripped:
+            close_lists(0)
+            out.append(f"<p>{_h.escape(stripped)}</p>")
+    close_lists(0)
+    out.append("</body></html>")
+    return "".join(out)

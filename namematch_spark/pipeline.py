@@ -37,6 +37,13 @@ class PipelineConfig:
     num_hashes: int = 24
     rows_per_band: int = 6
     num_trees: int = 100
+    #: hyperparameter grid over ``minInstancesPerNode`` (the
+    #: reference's ``min_samples_leaf ∈ {25, 150}`` 3-fold CV,
+    #: ``fit_model.py:278-299``) — pass
+    #: ``model.GRID_MIN_INSTANCES`` for full parity; the default
+    #: single point skips the 6 extra CV fits (bench configuration;
+    #: on this synthetic corpus the grid re-picks 25).
+    grid_min_instances: list[int] | None = None
     #: name-probability stage: count-percentile features + first/last
     #: swap repair (reference ``generate_data_rows.py:226-259``).
     name_prob: bool = True
@@ -52,6 +59,14 @@ class PipelineConfig:
     #: pairs (labeled 0, scored ≥ threshold) are admitted as potential
     #: edges (``cluster.py:461-464``).
     allow_clusters_w_multiple_unique_ids: bool = False
+    #: incremental mode (reference ``block.py:467-532`` +
+    #: ``cluster.py:140-144``): a persisted blocking-index dir makes
+    #: the candidates stage query only names seen in ``file_type ==
+    #: 'new'`` records (cost ∝ batch, not corpus) …
+    incremental_index_dir: str | None = None
+    #: … and an ExistingID column pre-links records into their prior
+    #: cluster and keeps month-1 cluster ids stable (G2/G4 eid path).
+    existing_id_col: str | None = None
     checkpoint_dir: str | None = None
     #: compute pairwise eval / pair-completeness / cluster counts.
     #: Off by default: the metrics block costs a cluster self-join plus
@@ -66,9 +81,12 @@ class PipelineConfig:
             "num_hashes": self.num_hashes,
             "rows_per_band": self.rows_per_band,
             "num_trees": self.num_trees,
+            "grid_min_instances": self.grid_min_instances,
             "name_prob": self.name_prob,
             "allow_multiple_uids":
                 self.allow_clusters_w_multiple_unique_ids,
+            "incremental_index_dir": self.incremental_index_dir,
+            "existing_id_col": self.existing_id_col,
         }
 
 
@@ -159,9 +177,23 @@ def run_pipeline(records: DataFrame,
     ml = stage("must_links", lambda: must_links(an), ["all_names"])
     if stop_after == "must_links":
         return PipelineResult(all_names=an, must_links=ml)
-    cand = stage("candidates", lambda: B.candidate_blockstring_pairs(
-        an, bars=cfg.bars, num_hashes=cfg.num_hashes,
-        rows_per_band=cfg.rows_per_band), ["all_names"])
+    blocking_info: dict = {}
+
+    def _candidates() -> DataFrame:
+        if cfg.incremental_index_dir:
+            from namematch_spark.operators.incremental import (
+                incremental_blockstring_pairs)
+            bsp, info = incremental_blockstring_pairs(
+                an, cfg.incremental_index_dir, bars=cfg.bars,
+                num_hashes=cfg.num_hashes,
+                rows_per_band=cfg.rows_per_band)
+            blocking_info.update(info)
+            return bsp
+        return B.candidate_blockstring_pairs(
+            an, bars=cfg.bars, num_hashes=cfg.num_hashes,
+            rows_per_band=cfg.rows_per_band)
+
+    cand = stage("candidates", _candidates, ["all_names"])
 
     def _data_rows() -> DataFrame:
         # the feature plan consumes the expansion three times (base +
@@ -225,9 +257,11 @@ def run_pipeline(records: DataFrame,
             model_set = ModelSet(models=loaded,
                                  missing_field=missing_field)
     if model_set is None:
-        model_set = train_model_set(dr, feature_cols=feature_cols,
-                                    missing_field=missing_field,
-                                    num_trees=cfg.num_trees)
+        model_set = train_model_set(
+            dr, feature_cols=feature_cols,
+            missing_field=missing_field,
+            num_trees=cfg.num_trees,
+            grid_min_instances=cfg.grid_min_instances)
         if ckpt is not None:
             for name, mm in model_set.models.items():
                 ckpt.save_model(
@@ -259,6 +293,7 @@ def run_pipeline(records: DataFrame,
         is_valid_cluster=cfg.is_valid_cluster,
         constraints=cfg.constraints,
         allow_multiple_uids=cfg.allow_clusters_w_multiple_unique_ids,
+        eid_col=cfg.existing_id_col,
         metrics=cluster_metrics),
         ["potential_links", "must_links"])
 
@@ -266,6 +301,7 @@ def run_pipeline(records: DataFrame,
         # oversized-fallback counts (0 unless a dirty component blew
         # past max_component and skipped the constraint replay)
         **cluster_metrics,
+        **({"blocking": blocking_info} if blocking_info else {}),
         "model": model.eval_metrics,
         "threshold": model.threshold,
         "models": {name: {"threshold": mm.threshold,

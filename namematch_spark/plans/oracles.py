@@ -801,6 +801,29 @@ LEFT JOIN cc ON cc.record_id = an.record_id
 """
 
 
+def er_incremental_block() -> str:
+    """Incremental blocking parity (reference ``block.py:467-532``):
+    the index-driven incremental candidate set must equal the full
+    rebuild's blockstring pairs restricted to pairs touching a name
+    seen in a ``file_type='new'`` record (deterministic new-record
+    rule: numeric record-id suffix % 5 = 0, portable in both
+    engines)."""
+    return f"""
+WITH person AS ({PERSON}),
+{bs_candidates_cte().strip()},
+newnames AS (
+  SELECT DISTINCT nn_string FROM an
+  WHERE drop_from_nm = 0
+    AND (try_cast(substr(record_id, 6) AS BIGINT) % 5) = 0
+)
+SELECT blockstring_1, blockstring_2, cos_dist FROM cand_bs
+WHERE split_part(blockstring_1, '::', 1)
+        IN (SELECT nn_string FROM newnames)
+   OR split_part(blockstring_2, '::', 1)
+        IN (SELECT nn_string FROM newnames)
+"""
+
+
 def er_incremental() -> str:
     """Incremental clustering over the deterministic must-link graph:
     records whose uid is divisible by 5 carry a prior cluster id

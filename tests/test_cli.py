@@ -91,3 +91,13 @@ def test_cli_stage_then_resume_full_run(spark, tmp_path):
     an = spark.read.parquet(os.path.join(out, "all_names"))
     assert "cluster_id" in an.columns
     assert an.count() > 0
+    # stage 9: report artifact (reference generate_report.py:34-55;
+    # its e2e test asserts existence, test_namematcher.py:6-20)
+    html = open(os.path.join(out, "matching_report.html")).read()
+    for univ in ("all pairs", "exactmatch pairs",
+                 "non exactmatch pairs"):
+        assert univ in html, f"universe block '{univ}' missing"
+    assert os.path.isfile(os.path.join(out, "matching_report.md"))
+    info2 = json.load(open(os.path.join(out, "nm_info.json")))
+    assert "counts" in info2 and "phat_histogram" in info2
+    assert info2["counts"]["clusters"] > 0

@@ -79,3 +79,104 @@ def test_secondary_limit_triggers_rebuild(spark, tmp_path):
                                          secondary_limit=2)
     assert info["mode"] == "full"
     assert info["n_index"] == len(NAMES_1) + len(NAMES_2)
+
+
+def test_incremental_cli_two_batch(spark, tmp_path):
+    """e2e incremental run through the CLI (reference block.py:467-532
+    composed with cluster.py:140-144): month-2 blocking queries only
+    the new batch's names and month-1 cluster ids stay stable."""
+    import json
+    import os
+
+    import yaml
+
+    from namematch_spark.cli import main
+    from namematch_spark.sources.records import person_records
+    from tests.conftest import SF_SMALL
+
+    recs = person_records(spark, SF_SMALL).cache()
+    b2 = F.abs(F.xxhash64("record_id")) % 5 == 0     # ~20% arrive later
+    recs.filter(~b2).write.mode("overwrite").parquet(
+        str(tmp_path / "m1.parquet"))
+
+    variables = [
+        {"name": "first_name", "compare_type": "String",
+         "m1_col": "first_name", "old_col": "first_name",
+         "new_col": "first_name"},
+        {"name": "last_name", "compare_type": "LastName",
+         "m1_col": "last_name", "old_col": "last_name",
+         "new_col": "last_name"},
+        {"name": "dob", "compare_type": "Date",
+         "check": "Date - %Y-%m-%d",
+         "m1_col": "dob", "old_col": "dob", "new_col": "dob"},
+        {"name": "age", "compare_type": "Numeric",
+         "m1_col": "age", "old_col": "age", "new_col": "age"},
+        {"name": "gender", "compare_type": "Categorical",
+         "check": ["M", "F"],
+         "m1_col": "gender", "old_col": "gender", "new_col": "gender"},
+        {"name": "uid", "compare_type": "UniqueID",
+         "m1_col": "uid", "old_col": "uid", "new_col": "uid"},
+    ]
+    idx = str(tmp_path / "bindex")
+    out1 = str(tmp_path / "out1")
+    cfg1 = {"data_files": {"m1": {
+                "filepath": str(tmp_path / "m1.parquet"),
+                "record_id_col": "record_id", "file_type": "new"}},
+            "variables": variables, "num_trees": 5, "name_prob": False}
+    with open(tmp_path / "cfg1.yaml", "w") as f:
+        yaml.safe_dump(cfg1, f)
+    assert main(["run", "-c", str(tmp_path / "cfg1.yaml"),
+                 "--output-dir", out1, "--index-dir", idx,
+                 "--keep-session", "--shuffle-partitions", "8"]) == 0
+    info1 = json.load(open(os.path.join(out1, "nm_info.json")))
+    assert info1["metrics"]["blocking"]["mode"] == "full"
+
+    # month 2: month-1 records become 'existing' with their cluster id
+    # as ExistingID; the held-out 20% arrive as 'new'.  record_id is
+    # nickname-prefixed per run (P1) — strip to the original id.
+    deprefix = F.regexp_replace("record_id", "^[^_]+__", "")
+    m1_clusters = (spark.read.parquet(os.path.join(out1, "all_names"))
+                   .select(deprefix.alias("record_id"), "cluster_id"))
+    assert m1_clusters.count() > 0
+    (recs.filter(~b2).join(m1_clusters, "record_id")
+         .withColumnRenamed("cluster_id", "eid")
+         .write.mode("overwrite").parquet(str(tmp_path / "old.parquet")))
+    (recs.filter(b2).withColumn("eid", F.lit(""))
+         .write.mode("overwrite").parquet(str(tmp_path / "new.parquet")))
+    ev = {"name": "existing_id", "compare_type": "ExistingID",
+          "old_col": "eid", "new_col": "eid"}
+    cfg2 = {"data_files": {
+                "old": {"filepath": str(tmp_path / "old.parquet"),
+                        "record_id_col": "record_id",
+                        "file_type": "existing"},
+                "new": {"filepath": str(tmp_path / "new.parquet"),
+                        "record_id_col": "record_id",
+                        "file_type": "new"}},
+            "variables": variables + [ev],
+            "num_trees": 5, "name_prob": False}
+    with open(tmp_path / "cfg2.yaml", "w") as f:
+        yaml.safe_dump(cfg2, f)
+    out2 = str(tmp_path / "out2")
+    assert main(["run", "-c", str(tmp_path / "cfg2.yaml"),
+                 "--output-dir", out2, "--index-dir", idx,
+                 "--keep-session", "--shuffle-partitions", "8"]) == 0
+    info2 = json.load(open(os.path.join(out2, "nm_info.json")))
+    blk = info2["metrics"]["blocking"]
+    assert blk["mode"] == "incremental"
+    # blocking cost ∝ the new batch, not the corpus: the query set is
+    # the names touched by new records (~20% of records)
+    n_names_total = (recs.withColumn(
+        "nn", F.concat_ws(" ", "first_name", "last_name"))
+        .select("nn").distinct().count())
+    assert 0 < blk["n_queried"] < 0.55 * n_names_total
+    # month-1 cluster ids stay stable (G4: eid wins)
+    # the month-1 CLUSTER id strings must survive verbatim (eid wins)
+    an2 = (spark.read.parquet(os.path.join(out2, "all_names"))
+           .select(deprefix.alias("record_id"), "cluster_id"))
+    joined = (m1_clusters.withColumnRenamed("cluster_id", "cid1")
+              .join(an2, "record_id"))
+    n_m1 = joined.count()
+    n_stable = joined.filter(F.col("cid1") == F.col("cluster_id")) \
+        .count()
+    assert n_m1 > 0 and n_stable >= 0.9 * n_m1
+    recs.unpersist()

@@ -128,3 +128,25 @@ def test_model_to_use_expr(spark):
     vals = [r["m"] for r in df.collect()]
     assert vals == ["no_dob", "basic"]
     assert MISSINGNESS_THRESHOLD_BOOST == 0.2
+
+
+def test_grid_search_cv(dr):
+    # M1 grid parity (fit_model.py:278-299): 3-fold CV over the
+    # reference's min_samples_leaf grid via MLlib CrossValidator.
+    # On the 120-row fixture a 150-leaf floor forbids any split, so
+    # the grid must evaluate BOTH points and pick 25.
+    from namematch_spark.operators.model import (GRID_CV_FOLDS,
+                                                 GRID_MIN_INSTANCES,
+                                                 train_match_model)
+    mm = train_match_model(dr, feature_cols=FEATS, num_trees=5,
+                           grid_min_instances=GRID_MIN_INSTANCES)
+    g = mm.eval_metrics["grid"]
+    assert g["param"] == "minInstancesPerNode"
+    assert g["grid"] == GRID_MIN_INSTANCES == [25, 150]
+    assert len(g["cv_f1"]) == 2          # both grid points evaluated
+    assert g["folds"] == GRID_CV_FOLDS == 3
+    assert g["chosen"] == 25
+    assert g["cv_f1"][0] > g["cv_f1"][1]
+    # single-point grid (the bench default) records no grid block
+    mm1 = train_match_model(dr, feature_cols=FEATS, num_trees=5)
+    assert "grid" not in mm1.eval_metrics

@@ -6,7 +6,8 @@ time ~= max-task >> sum/cores is a straggler/serial stage; a stage
 with task count < cores cannot use the machine.  Attributes stages to
 profiler phases via the __spans timestamps in the profile JSON.
 
-Usage: python tools/analyze_eventlog.py EVENT_DIR PROFILE_JSON [TOP]
+Usage: python tools/analyze_eventlog.py EVENT_DIR CORES [TOP]
+(PROFILE_JSON with __spans is optional via --spans FILE)
 """
 from __future__ import annotations
 
@@ -15,16 +16,36 @@ import os
 import sys
 
 
+def _event_files(evdir: str) -> list[str]:
+    # newest application; handle both single-file and rolling
+    # (eventlog_v2_<app>/events_N_...) layouts
+    entries = sorted((os.path.getmtime(os.path.join(evdir, f)),
+                      os.path.join(evdir, f))
+                     for f in os.listdir(evdir)
+                     if not f.startswith("."))
+    path = entries[-1][1]
+    if os.path.isdir(path):
+        return sorted(os.path.join(path, f) for f in os.listdir(path)
+                      if f.startswith("events_"))
+    return [path]
+
+
+def _lines(evdir: str):
+    import io
+    for path in _event_files(evdir):
+        if path.endswith(".zstd"):
+            import pyarrow as pa
+            stream = pa.CompressedInputStream(pa.OSFile(path), "zstd")
+            yield from io.TextIOWrapper(stream, encoding="utf-8")
+        else:
+            with open(path) as f:
+                yield from f
+
+
 def load_events(evdir: str):
-    # pick the newest application log
-    files = sorted((os.path.getmtime(os.path.join(evdir, f)),
-                    os.path.join(evdir, f))
-                   for f in os.listdir(evdir)
-                   if not f.startswith("."))
-    path = files[-1][1]
     stages: dict[tuple, dict] = {}
-    with open(path) as f:
-        for line in f:
+    if True:
+        for line in _lines(evdir):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
@@ -55,10 +76,13 @@ def load_events(evdir: str):
 
 
 def main():
-    evdir, profile = sys.argv[1], sys.argv[2]
+    evdir = sys.argv[1]
+    cores = int(sys.argv[2])
     top = int(sys.argv[3]) if len(sys.argv) > 3 else 25
-    prof = json.load(open(profile))
-    spans = prof["phases"].get("__spans", [])
+    spans = []
+    if "--spans" in sys.argv:
+        prof = json.load(open(sys.argv[sys.argv.index("--spans") + 1]))
+        spans = prof["phases"].get("__spans", [])
 
     def phase_of(ms):
         s = ms / 1000.0
@@ -78,9 +102,7 @@ def main():
         rows.append((wall, sid, s["ntasks"], tsum, tmax,
                      phase_of(s["submit"]), s["name"]))
     rows.sort(reverse=True)
-    cores = prof["cores"]
-    print(f"cores={cores} total={prof['total_sec']}s  "
-          f"(top {top} stages by wall)")
+    print(f"cores={cores}  (top {top} stages by wall)")
     print(f"{'wall':>8} {'sid':>5} {'ntask':>6} {'tsum':>8} "
           f"{'tmax':>7} {'par%':>5}  phase/name")
     tot_wall = 0.0

@@ -91,7 +91,8 @@ def main():
         kw["conf"]["spark.eventLog.dir"] = f"file:{evdir}"
         return orig(**kw)
     S.get_spark = get_spark_ev
-    spark = bench.make_spark(cores, aqe=False)
+    spark = bench.make_spark(cores, aqe=False,
+                             partitions=bench.SCALE_PARTITIONS)
     S.get_spark = orig
     t0 = time.time()
     # warmup pass (codegen/JIT) at sf0.001, same plan shape, same JVM
@@ -102,11 +103,13 @@ def main():
     n = run(spark, copies, SF_DIR, phases)
     total = time.time() - t0
     spark.stop()
+    def _r(d: dict) -> dict:
+        return {k: (round(v, 2) if isinstance(v, float) else v)
+                for k, v in d.items()}
     out = {"cores": cores, "copies": copies, "pairs": n,
            "total_sec": round(total, 1),
            "warmup_sec": round(warm_t, 1),
-           "phases": {k: round(v, 2) for k, v in phases.items()},
-           "warm_phases": {k: round(v, 2) for k, v in warm.items()}}
+           "phases": _r(phases), "warm_phases": _r(warm)}
     with open(outfile, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
