@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from namematch_spark.operators.blocking import (DEFAULT_NUM_HASHES,
+                                                eager_cache_enabled,
                                                 lsh_band_rows)
 
 
@@ -132,6 +133,11 @@ def incremental_lsh_candidates(nn_stats: DataFrame, index_path: str,
                   .filter((F.col("__bn") > 1)
                           & (F.col("__bn") <= max_bucket))
                   .drop("__bn").cache())
+        # populate eagerly: the self-join's two map stages both scan
+        # this cache and can run concurrently — cold, each recomputes
+        # the full band lineage (see blocking._scoped_cache)
+        if eager_cache_enabled():
+            pruned.count()
         l, r = pruned.alias("l"), pruned.alias("r")
         pairs = (
             l.join(r, ["band", "bkey"])
@@ -162,6 +168,9 @@ def incremental_lsh_candidates(nn_stats: DataFrame, index_path: str,
                                     "left_anti")
     q_band = lsh_band_rows(query_names, num_hashes=num_hashes,
                            rows_per_band=rows_per_band).cache()
+    # eager for the same concurrent-consumer reason as _scoped_cache
+    if eager_cache_enabled():
+        q_band.count()
     second_band = q_band.join(second_names, "nn_string", "semi")
     index_band = main.select("nn_string", "band", "bkey") \
         .unionByName(second_band)

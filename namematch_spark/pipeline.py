@@ -197,8 +197,12 @@ def run_pipeline(records: DataFrame,
 
     def _data_rows() -> DataFrame:
         # the feature plan consumes the expansion three times (base +
-        # two metric-dim subqueries) — materialize it once
+        # two metric-dim subqueries, which execute CONCURRENTLY) —
+        # populate the cache eagerly or each cold consumer recomputes
+        # the expansion lineage itself (see blocking._scoped_cache)
         rp = expand_bs_to_record_pairs(cand, an).cache()
+        if B.eager_cache_enabled():
+            rp.count()
         pctl_dims = probs = None
         if cfg.name_prob:
             from namematch_spark.operators import nameprob as NP

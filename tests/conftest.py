@@ -10,6 +10,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 SF_SMALL = "/root/testdata/sf0.001"
 
+# Tiny-fixture suite: skip the eager cache-population count jobs (a
+# production-scale perf guard against concurrent consumers recomputing
+# cold cached subtrees — see blocking._scoped_cache).  At sf0.001 each
+# count is pure per-job scheduler overhead against a microsecond
+# subtree, and hundreds of pipeline invocations add minutes of wall
+# time without changing any result.  Eager behavior itself is exercised
+# by bench.py at sf0.1.
+os.environ.setdefault("NM_LAZY_CACHE", "1")
+
 
 @pytest.fixture(scope="session")
 def spark():

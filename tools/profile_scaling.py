@@ -92,7 +92,8 @@ def main():
         return orig(**kw)
     S.get_spark = get_spark_ev
     spark = bench.make_spark(cores, aqe=False,
-                             partitions=bench.SCALE_PARTITIONS)
+                             partitions=bench.SCALE_PARTITIONS,
+                             machine_cores=cores)
     S.get_spark = orig
     t0 = time.time()
     # warmup pass (codegen/JIT) at sf0.001, same plan shape, same JVM
