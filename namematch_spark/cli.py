@@ -200,8 +200,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "later runs query only new names)")
     p.add_argument("-f", "--force", action="store_true",
                    help="discard existing checkpoints and recompute")
-    p.add_argument("--master", default="local[*]",
-                   help="spark master (default: local[*])")
+    p.add_argument("--master", default=None,
+                   help="spark master (default: the spark-submit-"
+                        "provided master when launched via "
+                        "spark-submit, else local[*])")
     p.add_argument("--conf", action="append", metavar="K=V",
                    help="extra spark conf, repeatable")
     p.add_argument("--shuffle-partitions", type=int, default=32)

@@ -75,6 +75,13 @@ def get_spark(
     builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
     if master is None and "SPARK_GRAFT_CPUS" in os.environ:
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is None:
+        # under spark-submit the master arrives as the spark.master
+        # system property and MUST win (builder.master would override
+        # it); plain `python ...` runs fall back to local[*]
+        from pyspark import SparkConf
+        if not SparkConf().contains("spark.master"):
+            master = "local[*]"
     if master is not None:
         builder = builder.master(master)
     merged = dict(_ENGINE_CONF)
