@@ -145,6 +145,10 @@ def run_pipeline(records: DataFrame,
                    records.schema.simpleString())
     cfg_fp = _fp(cfg.fingerprint_fields())
     fps: dict[str, str] = {}
+    # per-stage wall time (reference: per-task stats in nm_info.yaml,
+    # base.py:203-209) — lands in metrics["stage_seconds"]
+    import time as _time
+    stage_secs: dict[str, float] = {}
 
     def stage(name: str, compute: Callable[[], DataFrame],
               upstream: list[str]) -> DataFrame:
@@ -157,11 +161,13 @@ def run_pipeline(records: DataFrame,
         # multiplicatively across the 6-stage DAG (the full-lineage
         # clusters plan is large enough that merely rendering its
         # treeString OOMs the driver).
+        t0 = _time.time()
         if ckpt is None:
             out = compute().localCheckpoint(eager=True)
         else:
             out = ckpt.load_or_compute(spark, name, compute,
                                        fingerprint=fps[name])
+        stage_secs[name] = round(_time.time() - t0, 2)
         # stage output is materialized — blocking's scoped caches (bs,
         # nn, vectors, band rows) are no longer reachable; drop them so
         # repeated pipeline runs per JVM don't accumulate executor
@@ -261,11 +267,13 @@ def run_pipeline(records: DataFrame,
             model_set = ModelSet(models=loaded,
                                  missing_field=missing_field)
     if model_set is None:
+        _t0 = _time.time()
         model_set = train_model_set(
             dr, feature_cols=feature_cols,
             missing_field=missing_field,
             num_trees=cfg.num_trees,
             grid_min_instances=cfg.grid_min_instances)
+        stage_secs["match_model"] = round(_time.time() - _t0, 2)
         if ckpt is not None:
             for name, mm in model_set.models.items():
                 ckpt.save_model(
@@ -305,6 +313,7 @@ def run_pipeline(records: DataFrame,
         # oversized-fallback counts (0 unless a dirty component blew
         # past max_component and skipped the constraint replay)
         **cluster_metrics,
+        "stage_seconds": stage_secs,
         **({"blocking": blocking_info} if blocking_info else {}),
         "model": model.eval_metrics,
         "threshold": model.threshold,
