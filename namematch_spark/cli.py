@@ -122,6 +122,7 @@ def cmd_stage(args, stop_after: str | None, with_output: bool) -> int:
         num_trees=cfg_dict.get("num_trees", 100),
         num_hashes=cfg_dict.get("num_hashes", 24),
         name_prob=cfg_dict.get("name_prob", True),
+        jw_variant=cfg_dict.get("jw_variant", "standard"),
         allow_clusters_w_multiple_unique_ids=cfg_dict.get(
             "allow_clusters_w_multiple_unique_ids", False),
         evaluate=cfg_dict.get("evaluate", False),

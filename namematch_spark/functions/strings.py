@@ -77,12 +77,78 @@ def jaro_winkler(s1: str, s2: str, scaling: float = 0.1,
     return j + prefix * scaling * (1.0 - j)
 
 
-def jw_dist_series(a: pd.Series, b: pd.Series) -> pd.Series:
+def _pyjw_matching_characters(first: str, second: str) -> str:
+    """pyjarowinkler-variant matching pass: window limit is
+    ``floor(min(len)/2)`` (standard Jaro uses ``floor(max/2)-1``) and a
+    matched character is consumed at its FIRST unconsumed occurrence
+    anywhere in ``second``, not the occurrence inside the window."""
+    import math
+    common: list[str] = []
+    limit = math.floor(min(len(first), len(second)) / 2)
+    for i, ch in enumerate(first):
+        left, right = max(0, i - limit), min(i + limit + 1, len(second))
+        if ch in second[left:right]:
+            common.append(ch)
+            j = second.index(ch)
+            second = second[:j] + "*" + second[j + 1:]
+    return "".join(common)
+
+
+def jaro_winkler_pyjw(s1: str, s2: str, scaling: float = 0.1) -> float:
+    """The ``pyjarowinkler.distance.get_jaro_distance`` variant the
+    reference calls (``comparison_functions.py:206-209``), re-derived
+    from that library's published algorithm for bit-parity with the
+    reference's feature values.  Divergences from standard JW, all
+    reproduced here: inputs lowercased for the Jaro score but the
+    Winkler prefix read off the original strings; match window
+    ``floor(min/2)``; first-anywhere match consumption; asymmetric
+    two-pass matching (``m1`` from the shorter string drives both the
+    match count and the transposition denominator); no 0.7 boost
+    threshold; result rounded to 2 decimals (``round(x*100)/100``).
+
+    Verified exact (328/328 values, tolerance 1e-12) against the
+    reference's committed feature goldens
+    (``tests/unit/data/data_rows.csv``) — see
+    ``tests/test_jw_parity.py``.
+    """
+    import math
+    shorter, longer = s1.lower(), s2.lower()
+    if len(s1) > len(s2):
+        longer, shorter = shorter, longer
+    m1 = _pyjw_matching_characters(shorter, longer)
+    m2 = _pyjw_matching_characters(longer, shorter)
+    if not m1 or not m2:
+        jaro = 0.0
+    else:
+        transposed = math.floor(
+            sum(1 for f, s in zip(m1, m2) if f != s) / 2)
+        jaro = (len(m1) / len(shorter) + len(m2) / len(longer)
+                + (len(m1) - transposed) / len(m1)) / 3.0
+    prefix = 0
+    for c1, c2 in zip(s1, s2):
+        if c1 != c2:
+            break
+        prefix += 1
+    cl = min(prefix, 4)
+    return round((jaro + scaling * cl * (1.0 - jaro)) * 100.0) / 100.0
+
+
+#: jw_variant name -> similarity function used by jw_dist_series
+JW_VARIANTS = {"standard": jaro_winkler, "pyjarowinkler": jaro_winkler_pyjw}
+
+
+def jw_dist_series(a: pd.Series, b: pd.Series,
+                   variant: str = "standard") -> pd.Series:
     """Vectorized (batch-level) 1 - JW over two string Series.
 
     Reference semantics: ``comparison_functions.py:206-209`` computes
     ``1 - get_jaro_distance(...)`` and NaN where either side missing.
+    ``variant="standard"`` (default) matches DuckDB's
+    ``jaro_winkler_similarity`` so the contract oracles can mirror it;
+    ``variant="pyjarowinkler"`` reproduces the reference's library
+    bit-for-bit (see :func:`jaro_winkler_pyjw`).
     """
+    sim = JW_VARIANTS[variant]
     a_arr = a.to_numpy(dtype=object)
     b_arr = b.to_numpy(dtype=object)
     out = np.empty(len(a_arr), dtype=np.float64)
@@ -91,7 +157,7 @@ def jw_dist_series(a: pd.Series, b: pd.Series) -> pd.Series:
         if not x or not y:
             out[i] = np.nan
         else:
-            out[i] = 1.0 - jaro_winkler(x, y)
+            out[i] = 1.0 - sim(x, y)
     return pd.Series(out, index=a.index)
 
 

@@ -291,7 +291,8 @@ def exactmatch_expr(exact_vars: list[str],
 
 
 def _py_metrics_dim(record_pairs: DataFrame,
-                    variables: list[str]) -> DataFrame:
+                    variables: list[str],
+                    jw_variant: str = "standard") -> DataFrame:
     """Python-metric dimension table: (s1, s2) → (jw_dist, nysiis_eq)
     over the *distinct* value pairs of all ``variables``, in ONE pass.
 
@@ -304,7 +305,7 @@ def _py_metrics_dim(record_pairs: DataFrame,
     """
     pdf = pandas_udf("jw double, ny double")(
         lambda a, b: pd.DataFrame({
-            "jw": jw_dist_series(a, b),
+            "jw": jw_dist_series(a, b, variant=jw_variant),
             "ny": nysiis_eq_series(a, b)}))
     pieces = [
         record_pairs.select(F.col(f"{v}_1").alias("__s1"),
@@ -337,7 +338,8 @@ def pair_features(record_pairs: DataFrame,
                   exact_vars: list[str] | None = None,
                   negate_exact_vars: list[str] | None = None,
                   pctl_dims: dict | None = None,
-                  name_probs: DataFrame | None = None) -> DataFrame:
+                  name_probs: DataFrame | None = None,
+                  jw_variant: str = "standard") -> DataFrame:
     """Full feature table over side-by-side record pairs (the
     "data-rows" table, ``generate_data_rows.py:182-190``).
 
@@ -377,7 +379,8 @@ def pair_features(record_pairs: DataFrame,
         .alias("exactmatch"),
         label_expr(leven_thresh).alias("label"))
 
-    dim = _py_metrics_dim(record_pairs, ["first_name", "last_name"])
+    dim = _py_metrics_dim(record_pairs, ["first_name", "last_name"],
+                          jw_variant=jw_variant)
     for v in ("first_name", "last_name"):
         d = dim.select(
             F.col("__s1"), F.col("__s2"),
@@ -432,7 +435,8 @@ def expand_bs_pairs_for_schema(cand_bs: DataFrame, all_names: DataFrame,
 
 
 def pair_features_with_schema(record_pairs: DataFrame, schema,
-                              leven_thresh: int | None = 1) -> DataFrame:
+                              leven_thresh: int | None = 1,
+                              jw_variant: str = "standard") -> DataFrame:
     """Config-driven data-rows table: the feature set is whatever the
     Schema declares (reference ``generate_data_rows.py:267-287``
     dispatch), labels come from its UniqueID variable(s)."""
@@ -450,7 +454,8 @@ def pair_features_with_schema(record_pairs: DataFrame, schema,
     carried = sorted({f"{v}_{s}" for v in string_vars for s in (1, 2)})
     base = record_pairs.select(*keep, *carried, *feats, *label_cols)
 
-    dim = _py_metrics_dim(record_pairs, string_vars)
+    dim = _py_metrics_dim(record_pairs, string_vars,
+                          jw_variant=jw_variant)
     for v in string_vars:
         d = dim.select(
             F.col("__s1"), F.col("__s2"),

@@ -47,6 +47,13 @@ class PipelineConfig:
     #: name-probability stage: count-percentile features + first/last
     #: swap repair (reference ``generate_data_rows.py:226-259``).
     name_prob: bool = True
+    #: Jaro-Winkler implementation for the string features:
+    #: "standard" (default; mirrors DuckDB's jaro_winkler_similarity so
+    #: the contract oracles can value-check) or "pyjarowinkler" (exact
+    #: replica of the library the reference calls,
+    #: comparison_functions.py:206-209 — bit-parity with the
+    #: reference's feature values; see functions.strings.jaro_winkler_pyjw)
+    jw_variant: str = "standard"
     #: legacy set-of-uids cluster veto (adapted onto the Constraints
     #: surface) …
     is_valid_cluster: Callable[[set[str]], bool] | None = None
@@ -83,6 +90,7 @@ class PipelineConfig:
             "num_trees": self.num_trees,
             "grid_min_instances": self.grid_min_instances,
             "name_prob": self.name_prob,
+            "jw_variant": self.jw_variant,
             "allow_multiple_uids":
                 self.allow_clusters_w_multiple_unique_ids,
             "incremental_index_dir": self.incremental_index_dir,
@@ -221,7 +229,8 @@ def run_pipeline(records: DataFrame,
             pctl_dims = {k: v.localCheckpoint(eager=True)
                          for k, v in NP.percentile_dims(anf).items()}
         return pair_features(rp, leven_thresh=cfg.leven_thresh,
-                             pctl_dims=pctl_dims, name_probs=probs)
+                             pctl_dims=pctl_dims, name_probs=probs,
+                             jw_variant=cfg.jw_variant)
 
     if stop_after == "candidates":
         return PipelineResult(all_names=an, must_links=ml,
