@@ -57,7 +57,13 @@ def _committed_dirs(path: str) -> list[str]:
 
 
 def index_exists(path: str) -> bool:
-    return any(d.endswith("/base") for d in _committed_dirs(path))
+    # a base without Spark's _SUCCESS marker is a crashed partial
+    # rebuild — treat it as absent so the next run rebuilds instead of
+    # silently loading a truncated index (ADVICE r4)
+    return any(
+        d.endswith("/base")
+        and os.path.exists(os.path.join(d, "_SUCCESS"))
+        for d in _committed_dirs(path))
 
 
 def build_blocking_index(nn: DataFrame, path: str,
@@ -65,14 +71,24 @@ def build_blocking_index(nn: DataFrame, path: str,
                          rows_per_band: int = 6) -> DataFrame:
     """Full (re)build: write every name's band rows
     (``save_main_index``, ``block.py:1432-1445``).  A rebuild clears
-    prior increments — the new base supersedes them."""
+    prior increments — the new base supersedes them.
+
+    Crash-safe like :func:`_commit_increment`: the new base is staged
+    under ``_tmp_*`` and renamed into place only after the write
+    completes, and the OLD tree is cleared only immediately before
+    that rename — a crash at any point leaves either the intact old
+    index or a ``_tmp_*`` dir the loader never reads (ADVICE r4).
+    """
     import shutil
+    import uuid
     band = lsh_band_rows(nn, num_hashes=num_hashes,
                          rows_per_band=rows_per_band)
+    staging = f"{path.rstrip('/')}_tmp_{uuid.uuid4().hex[:12]}"
+    band.write.mode("overwrite").partitionBy("band") \
+        .parquet(os.path.join(staging, "base"))
     if os.path.isdir(path):
         shutil.rmtree(path)
-    band.write.mode("overwrite").partitionBy("band") \
-        .parquet(os.path.join(path, "base"))
+    os.rename(staging, path)
     return band
 
 
@@ -87,7 +103,14 @@ def _commit_increment(df: DataFrame, path: str) -> None:
         if os.path.exists(final):    # concurrent batch took this slot
             n += 1
             continue
-        os.rename(staging, final)
+        try:
+            os.rename(staging, final)
+        except OSError:
+            # a concurrent writer won the slot between the exists()
+            # check and the rename (rename onto a non-empty dir raises
+            # rather than clobbering) — take the next slot (ADVICE r4)
+            n += 1
+            continue
         return
 
 
@@ -240,15 +263,16 @@ def incremental_blockstring_pairs(all_names: DataFrame,
         .withColumn("nn_string",
                     F.concat_ws(" ", "first_name", "last_name"))
         .select("nn_string").distinct())
-    # variant-level stats: a VARIANT is "new" iff any of its full
-    # names appears in a new record (the index is keyed on variants so
-    # split-name recall matches the full path)
+    # variant-level stats: n_new = how many of the variant's full
+    # names appear in a new record (a true A1-style count, ADVICE r4;
+    # the query-set filter only needs n_new > 0).  The index is keyed
+    # on variants so split-name recall matches the full path.
     vstats = (
         variants
         .join(new_full.withColumnRenamed("nn_string", "full")
               .withColumn("__new", F.lit(1)), "full", "left")
         .groupBy("nn_string")
-        .agg(F.max(F.coalesce(F.col("__new"), F.lit(0)))
+        .agg(F.sum(F.coalesce(F.col("__new"), F.lit(0)))
              .alias("n_new"),
              F.count("*").alias("n_total"))
         .withColumn("n_existing", F.col("n_total") - F.col("n_new")))
