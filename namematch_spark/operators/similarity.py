@@ -101,10 +101,35 @@ def _table_buckets(vec: Column, num_planes: int, num_tables: int,
         for t in range(num_tables)])
 
 
+def _report_dropped(sizes: DataFrame, max_bucket: int,
+                    metrics: dict | None, what: str) -> None:
+    """Non-silent cap (VERDICT r4): when a ``metrics`` dict is passed,
+    count the buckets routed out by ``max_bucket`` (one small agg job,
+    eager) and log a warning if any fired.  Without ``metrics`` the
+    filter still applies but no extra job runs — pass ``metrics`` in
+    analysis/bench runs."""
+    if metrics is None:
+        return
+    row = (sizes.filter(F.col("__bn") > max_bucket)
+           .agg(F.count("*").alias("k"),
+                F.coalesce(F.sum("__bn"), F.lit(0)).alias("rows"))
+           .collect()[0])
+    metrics[f"{what}_dropped_buckets"] = row["k"]
+    metrics[f"{what}_dropped_rows"] = int(row["rows"])
+    if row["k"]:
+        import logging
+        logging.getLogger(__name__).warning(
+            "%s: %d LSH bucket(s) exceed max_bucket=%d (%d rows) — "
+            "excluded from the candidate join; pairs in them are only "
+            "found if another hash table catches them", what, row["k"],
+            max_bucket, row["rows"])
+
+
 def lsh_knn(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
             num_planes: int = 8, num_tables: int = 4,
-            id_col: str = "vec_id", vec_col: str = "embedding"
-            ) -> DataFrame:
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            salt_threshold: int = 1024, max_bucket: int = 100_000,
+            metrics: dict | None = None) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH buckets
     bound the join.
 
@@ -114,6 +139,16 @@ def lsh_knn(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
     the cross join; everything else matches :func:`brute_force_knn`.
     ``dim`` is the embedding dimensionality and must be passed
     explicitly (no driver-side data sniffing in an operator plan).
+
+    Dense-region guards (VERDICT r4 — a dense embedding region is
+    otherwise a single-task quadratic bucket, same failure mode as
+    ``blocking.lsh_candidates``): corpus buckets larger than
+    ``salt_threshold`` take a 16-way salted join (query rows replicated
+    per partner group — bounded task size, zero recall loss); buckets
+    larger than ``max_bucket`` are excluded entirely and REPORTED via
+    ``metrics``/warning (:func:`_report_dropped`) — at 8 planes a
+    bucket that big means the table carries no information for that
+    region and its pairs are caught by the other tables.
     """
     bkts = _table_buckets(F.col(vec_col), num_planes, num_tables, dim)
     q = queries.select(
@@ -122,8 +157,28 @@ def lsh_knn(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(bkts).alias("__t", "__bkt"))
+    # corpus-side fan-in guard: count once, route by size
+    sizes = c.groupBy("__t", "__bkt").agg(F.count("*").alias("__bn"))
+    _report_dropped(sizes, max_bucket, metrics, "lsh_knn")
+    c = (c.join(sizes, ["__t", "__bkt"])
+         .filter(F.col("__bn") <= max_bucket))
+    c_cold = c.filter(F.col("__bn") <= salt_threshold).drop("__bn")
+    c_hot = c.filter(F.col("__bn") > salt_threshold).drop("__bn")
+    hot_keys = c_hot.select("__t", "__bkt").distinct()
+    q_cold = q.join(hot_keys, ["__t", "__bkt"], "left_anti")
+    q_hot = q.join(hot_keys, ["__t", "__bkt"], "left_semi")
+    G = 16
+    cand_cold = q_cold.join(c_cold, ["__t", "__bkt"])
+    cand_hot = (
+        q_hot.withColumn("__gr", F.explode(F.array(
+            *[F.lit(i) for i in range(G)])))
+        .join(c_hot.withColumn(
+            "__gr", F.pmod(F.xxhash64("neighbor_id"), F.lit(G))),
+            ["__t", "__bkt", "__gr"])
+        .drop("__gr")
+    )
     cand = (
-        q.join(c, ["__t", "__bkt"])
+        cand_cold.unionByName(cand_hot)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
@@ -147,7 +202,10 @@ def cosine_near_dup(vectors: DataFrame, threshold: float = 0.95,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     num_planes: int = 8, num_tables: int = 4,
                     dim: int | None = None,
-                    exact: bool = False) -> DataFrame:
+                    exact: bool = False,
+                    salt_threshold: int = 1024,
+                    max_bucket: int = 100_000,
+                    metrics: dict | None = None) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold.
 
     The default is the multi-table LSH candidate join (the 100 TB
@@ -155,6 +213,11 @@ def cosine_near_dup(vectors: DataFrame, threshold: float = 0.95,
     1 − (1 − p^planes)^tables, see :func:`_table_buckets`);
     ``exact=True`` keeps the cross join as the small-corpus
     verification oracle.  ``dim`` is required on the LSH path.
+    Dense-region guards as in :func:`lsh_knn`: buckets >
+    ``salt_threshold`` take the 16-way salted self-join (bounded task
+    size, zero recall loss — same valve as
+    ``blocking.lsh_candidates``); buckets > ``max_bucket`` are
+    excluded and reported (``metrics``/warning, never silent).
     Output: (vec_id_1, vec_id_2, sim).
     """
     a = vectors.select(F.col(id_col).alias("vec_id_1"),
@@ -170,12 +233,34 @@ def cosine_near_dup(vectors: DataFrame, threshold: float = 0.95,
         bkts = _table_buckets(F.col(vec_col), num_planes, num_tables, dim)
         keyed = vectors.select(F.col(id_col).alias("__id"),
                                F.posexplode(bkts).alias("__t", "__bkt"))
-        l, r = keyed.alias("l"), keyed.alias("r")
-        cand = (
-            l.join(r, ["__t", "__bkt"])
+        sizes = keyed.groupBy("__t", "__bkt").agg(
+            F.count("*").alias("__bn"))
+        _report_dropped(sizes, max_bucket, metrics, "cosine_near_dup")
+        keyed = (keyed.join(sizes, ["__t", "__bkt"])
+                 .filter((F.col("__bn") > 1)
+                         & (F.col("__bn") <= max_bucket)))
+        cold = keyed.filter(F.col("__bn") <= salt_threshold).drop("__bn")
+        hot = keyed.filter(F.col("__bn") > salt_threshold).drop("__bn")
+        pairs_cold = (
+            cold.alias("l").join(cold.alias("r"), ["__t", "__bkt"])
             .filter(F.col("l.__id") < F.col("r.__id"))
             .select(F.col("l.__id").alias("vec_id_1"),
                     F.col("r.__id").alias("vec_id_2"))
+        )
+        G = 16
+        l = (hot.withColumn("__gr", F.explode(F.array(
+                *[F.lit(i) for i in range(G)])))
+             .alias("l"))
+        r = hot.withColumn(
+            "__gr", F.pmod(F.xxhash64("__id"), F.lit(G))).alias("r")
+        pairs_hot = (
+            l.join(r, ["__t", "__bkt", "__gr"])
+            .filter(F.col("l.__id") < F.col("r.__id"))
+            .select(F.col("l.__id").alias("vec_id_1"),
+                    F.col("r.__id").alias("vec_id_2"))
+        )
+        cand = (
+            pairs_cold.unionByName(pairs_hot)
             .distinct()
             .join(a, "vec_id_1").join(b, "vec_id_2")
         )

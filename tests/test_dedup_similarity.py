@@ -102,6 +102,53 @@ def test_lsh_near_dup_recall_gate(spark):
     assert recall >= 0.9, (recall, len(exact))
 
 
+def test_lsh_hot_bucket_guards(spark):
+    # dense-region guards (VERDICT r4 #4): a deliberately dense cluster
+    # of near-identical vectors lands in one LSH bucket per table.
+    # (a) salting (bucket > salt_threshold) must NOT change results;
+    # (b) max_bucket must route the dense bucket out AND report it.
+    import numpy as np
+    from namematch_spark.operators.similarity import (cosine_near_dup,
+                                                      lsh_knn)
+    rng = np.random.RandomState(3)
+    center = rng.randn(8).astype("float32")
+    dense = center + 0.01 * rng.randn(60, 8).astype("float32")
+    sparse = rng.randn(20, 8).astype("float32")
+    vecs = np.vstack([dense, sparse])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kw = dict(threshold=0.99, num_planes=4, num_tables=2, dim=8)
+    plain = {(r["vec_id_1"], r["vec_id_2"])
+             for r in cosine_near_dup(df, salt_threshold=10_000,
+                                      **kw).collect()}
+    salted = {(r["vec_id_1"], r["vec_id_2"])
+              for r in cosine_near_dup(df, salt_threshold=8,
+                                       **kw).collect()}
+    assert plain and salted == plain       # salt is result-invariant
+
+    metrics: dict = {}
+    capped = cosine_near_dup(df, max_bucket=30, metrics=metrics,
+                             **kw).collect()
+    assert metrics["cosine_near_dup_dropped_buckets"] > 0
+    assert metrics["cosine_near_dup_dropped_rows"] >= 60
+    # the 60-vector dense bucket exceeded the cap in every table ->
+    # its pairs are gone; the guard fired non-silently
+    assert len(capped) < len(plain)
+
+    knn_metrics: dict = {}
+    plain_knn = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                 for r in lsh_knn(df, df, dim=8, k=1, num_planes=4,
+                                  num_tables=2,
+                                  salt_threshold=10_000).collect()}
+    salted_knn = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                  for r in lsh_knn(df, df, dim=8, k=1, num_planes=4,
+                                   num_tables=2, salt_threshold=8,
+                                   metrics=knn_metrics).collect()}
+    assert salted_knn == plain_knn
+    assert knn_metrics["lsh_knn_dropped_buckets"] == 0
+
+
 def test_text_profile(spark):
     from namematch_spark.operators.textstats import text_profile
     docs = spark.createDataFrame(
