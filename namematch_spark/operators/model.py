@@ -227,14 +227,22 @@ def train_match_model(data_rows: DataFrame,
         if fb > best_fb:
             best_fb, best_t = fb, t
         t = round(t - 0.01, 2)
-    metrics = _metrics_at(best_t, None)
+
+    def _univ_metrics(univ) -> dict:
+        m = _metrics_at(best_t, univ)
+        auc = auc_from_hist(pos, neg, univ)
+        if auc is not None:
+            m["auc"] = auc
+        return m
+
+    metrics = _univ_metrics(None)
     metrics["threshold"] = best_t
     if grid_info is not None:
         metrics["grid"] = grid_info
     metrics["universes"] = {
-        "all pairs": _metrics_at(best_t, None),
-        "exactmatch pairs": _metrics_at(best_t, 1),
-        "non exactmatch pairs": _metrics_at(best_t, 0),
+        "all pairs": _univ_metrics(None),
+        "exactmatch pairs": _univ_metrics(1),
+        "non exactmatch pairs": _univ_metrics(0),
     }
     return MatchModel(model=model, threshold=best_t,
                       feature_cols=feature_cols, eval_metrics=metrics)
@@ -257,6 +265,38 @@ class ModelSet:
 
 
 MISSINGNESS_THRESHOLD_BOOST = 0.2  # reference default_parameters.yaml:70
+
+
+def auc_from_hist(pos: dict, neg: dict, univ=None) -> float | None:
+    """M5 — rank-based ROC AUC from the 2-decimal (phat-bin, universe)
+    → count histograms (reference ``model_evaluation_functions.py:133``
+    uses sklearn ``roc_auc_score``; the rank/Mann-Whitney formulation
+    is identical up to the 0.01 phat binning, and ties within a bin
+    count 0.5 exactly as sklearn's trapezoidal ROC does).
+
+    ``pos``/``neg``: {(phat_bin, em_flag): n} as built by
+    ``train_match_model``; ``univ`` restricts to an exactmatch
+    universe (None = all pairs).  None when either class is empty.
+    """
+    def by_bin(d: dict) -> dict:
+        out: dict = {}
+        for (pb, e), n in d.items():
+            if univ is None or e == univ:
+                out[pb] = out.get(pb, 0) + n
+        return out
+
+    posb, negb = by_bin(pos), by_bin(neg)
+    P, N = sum(posb.values()), sum(negb.values())
+    if P == 0 or N == 0:
+        return None
+    won, cum_neg = 0.0, 0
+    for pb in sorted(set(posb) | set(negb)):
+        n_pos, n_neg = posb.get(pb, 0), negb.get(pb, 0)
+        # positives in this bin beat every lower-bin negative, tie
+        # with the same-bin negatives
+        won += n_pos * (cum_neg + 0.5 * n_neg)
+        cum_neg += n_neg
+    return won / (P * N)
 
 
 def model_to_use_expr(missing_field: str | None):

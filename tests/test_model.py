@@ -122,6 +122,35 @@ def test_per_universe_evaluation(dr):
         assert u["exactmatch pairs"]["baserate"] == 1.0
 
 
+def test_auc_from_hist():
+    # M5 AUC (model_evaluation_functions.py:107-189) — hand-computable
+    # fixture over the 2-decimal (phat, exactmatch) histograms
+    from namematch_spark.operators.model import auc_from_hist
+    pos = {(0.9, 1): 2, (0.5, 0): 1}
+    neg = {(0.5, 1): 1, (0.1, 0): 2}
+    # all pairs: P=3, N=3; bin .5 pos ties 1 same-bin neg (0.5 credit),
+    # beats the 2 lower negs -> (1*(2+0.5) + 2*3) / 9
+    assert abs(auc_from_hist(pos, neg) - 8.5 / 9) < 1e-12
+    # per-universe: both perfectly separated
+    assert auc_from_hist(pos, neg, 1) == 1.0
+    assert auc_from_hist(pos, neg, 0) == 1.0
+    # reversed ranking -> 0; one-class -> None
+    assert auc_from_hist({(0.1, 0): 1}, {(0.9, 0): 1}) == 0.0
+    assert auc_from_hist(pos, {}) is None
+    # identical distributions -> 0.5 (pure ties)
+    assert auc_from_hist({(0.5, 0): 4}, {(0.5, 0): 7}) == 0.5
+
+
+def test_auc_reported_per_universe(dr):
+    ms = train_model_set(dr, feature_cols=FEATS, missing_field=None,
+                         num_trees=5)
+    m = ms.basic.eval_metrics
+    assert 0.0 <= m["auc"] <= 1.0
+    for u in m["universes"].values():
+        if u.get("n_eval"):
+            assert "auc" in u or u["baserate"] in (0.0, 1.0)
+
+
 def test_model_to_use_expr(spark):
     df = spark.createDataFrame([(1.0,), (0.0,)], "var_dob_missing double") \
         .withColumn("m", model_to_use_expr("dob"))
