@@ -38,6 +38,18 @@ def _an(spark: SparkSession, sf: str) -> DataFrame:
     return preprocess(person_records(spark, sf))
 
 
+def _eager(df: DataFrame) -> DataFrame:
+    """X16 cache policy for multi-consumer subtrees: populate the cache
+    EAGERLY (one count job) — concurrent consumers of a cold cache each
+    recompute the full lineage (no cross-job computation lock; see
+    blocking._scoped_cache's measured evidence).  NM_LAZY_CACHE opts
+    out for tiny fixtures, same as the pipeline."""
+    df = df.cache()
+    if B.eager_cache_enabled():
+        df.count()
+    return df
+
+
 AN_COLS = ["record_id", "first_name", "last_name", "dob", "gender",
            "age", "uid", "blockstring", "drop_from_nm"]
 
@@ -66,6 +78,34 @@ def q_er_mustlinks(spark, sf):
     return must_links(_an(spark, sf))
 
 
+def _an_uid2(spark: SparkSession, sf: str) -> DataFrame:
+    from namematch_spark.sources.records import person_records_uid2
+    return preprocess(person_records_uid2(spark, sf))
+
+
+def q_er_mustlinks_multi(spark, sf):
+    """J1 over two UniqueID variables (SSN + agency-ID shape): union of
+    per-variable must-link self-joins, pair-deduped
+    (``generate_must_links.py:160-193``)."""
+    return must_links(_an_uid2(spark, sf), uid_col=["uid", "uid2"])
+
+
+def q_er_labels_multi(spark, sf):
+    """F14 consensus labels across two UniqueID variables
+    (``comparison_functions.py:389-396``): per-variable labels + the
+    all-agree consensus over the full candidate record-pair expansion."""
+    from namematch_spark.operators.pairs import (label_expr_for,
+                                                 label_expr_multi)
+    an = _an_uid2(spark, sf)
+    rp = expand_bs_to_record_pairs(
+        B.candidate_blockstring_pairs(an), an, extra_attrs=["uid2"])
+    return rp.select(
+        "dr_id",
+        label_expr_for("uid", 1).alias("label_uid"),
+        label_expr_for("uid2", 1).alias("label_uid2"),
+        label_expr_multi(["uid", "uid2"], 1).alias("label"))
+
+
 def q_er_blockstats(spark, sf):
     return B.nn_strings(_an(spark, sf))
 
@@ -92,6 +132,18 @@ def q_er_candidates(spark, sf):
         .alias("cos_dist"))
 
 
+def q_er_candidates_cov(spark, sf):
+    """U3 — covered_pair flag + uncovered must-link injection
+    (reference ``block.py:741-829, 872-904``): the blockstring
+    candidate stream plus every gt pair blocking missed
+    (covered_pair=0, true cosine distance)."""
+    an = _an(spark, sf)
+    cand = B.candidate_blockstring_pairs(an)
+    return B.add_uncovered_pairs(cand, must_links(an), an).select(
+        "blockstring_1", "blockstring_2",
+        F.round("cos_dist", 6).alias("cos_dist"), "covered_pair")
+
+
 FEATURE_ORACLE_COLS = [
     "dr_id",
     "var_first_name_missing", "var_first_name_edit_dist",
@@ -112,9 +164,9 @@ def q_er_candidates_bs(spark, sf):
 
 
 def q_er_pair_features(spark, sf):
-    an = _an(spark, sf).cache()
-    rp = expand_bs_to_record_pairs(
-        B.candidate_blockstring_pairs(an), an).cache()
+    an = _eager(_an(spark, sf))
+    rp = _eager(expand_bs_to_record_pairs(
+        B.candidate_blockstring_pairs(an), an))
     dr = pair_features(rp, leven_thresh=1)
     return dr.select(
         *[F.round(c, 6).alias(c)
@@ -125,11 +177,11 @@ def q_er_pair_features(spark, sf):
 def q_er_nameprob_features(spark, sf):
     from namematch_spark.operators import nameprob as NP
     from namematch_spark.operators.pairs import PCTL_FEATURE_COLS
-    an = _an(spark, sf).cache()
+    an = _eager(_an(spark, sf))
     anf = an.filter(F.col("drop_from_nm") == 0)
     rp = expand_bs_to_record_pairs(
         B.candidate_blockstring_pairs(an), an)
-    probs = NP.name_log_probs(anf, NP.ngram_counts(anf)).cache()
+    probs = _eager(NP.name_log_probs(anf, NP.ngram_counts(anf)))
     dims = NP.percentile_dims(anf)
     base = NP.pctl_pair_features(rp, dims)
     lp = probs.select(F.col("name_prob_str").alias("__s1p"),
@@ -155,10 +207,10 @@ def q_er_potential_links(spark, sf):
     # the full model registry: basic + dob-missingness model (M2).
     from namematch_spark.operators.model import (
         potential_links_model_set, score_with_model_set, train_model_set)
-    an = _an(spark, sf).cache()
-    rp = expand_bs_to_record_pairs(
-        B.candidate_blockstring_pairs(an), an).cache()
-    dr = pair_features(rp, leven_thresh=1).cache()
+    an = _eager(_an(spark, sf))
+    rp = _eager(expand_bs_to_record_pairs(
+        B.candidate_blockstring_pairs(an), an))
+    dr = _eager(pair_features(rp, leven_thresh=1))
     ms = train_model_set(dr)
     return potential_links_model_set(
         score_with_model_set(ms, dr), ms).select(
@@ -194,7 +246,7 @@ def _clusters_det(an):
     """Deterministic-score constrained clustering over an all-names
     table (shared by the person-records and web-pages variants)."""
     from namematch_spark.operators.cluster import constrained_clusters
-    an = an.cache()
+    an = _eager(an)
     rp = expand_bs_to_record_pairs(
         B.candidate_blockstring_pairs(an), an)
     pot = rp.select(
@@ -265,11 +317,19 @@ def q_er_incremental_block(spark, sf):
     exist = an.filter(F.col("file_type") == "existing")
     var_e = (B.name_variants(B.nn_strings(exist))
              .select("nn_string").distinct())
+    import shutil
     idx = tempfile.mkdtemp(prefix="nm_inc_idx_")
-    build_blocking_index(var_e, idx)
-    bs, _info = incremental_blockstring_pairs(an, idx)
-    return bs.select("blockstring_1", "blockstring_2",
-                     F.round("cos_dist", 6).alias("cos_dist"))
+    try:
+        build_blocking_index(var_e, idx)
+        bs, _info = incremental_blockstring_pairs(an, idx)
+        out = bs.select("blockstring_1", "blockstring_2",
+                        F.round("cos_dist", 6).alias("cos_dist"))
+        # materialize (truncates lineage off the index parquet) so the
+        # scratch index can be removed NOW instead of accumulating
+        # across bench/contract runs (ADVICE r4)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 def q_er_output(spark, sf):
@@ -341,14 +401,14 @@ def q_er_config_pair_features(spark, sf):
     from namematch_spark.operators.pairs import (
         expand_bs_pairs_for_schema, pair_features_with_schema)
     sch = demo_schema()
-    an = _cfg_an(spark, sf).cache()
+    an = _eager(_cfg_an(spark, sf))
     cand = B.candidate_blockstring_pairs(an)
     attrs = ([v.name for v in sch.feature_variables()
               if v.compare_type != "Address"]
              + ["address_street_number", "address_street_name",
                 "address_street_type"]
              + sch.uid_vars())
-    rp = expand_bs_pairs_for_schema(cand, an, attrs).cache()
+    rp = _eager(expand_bs_pairs_for_schema(cand, an, attrs))
     dr = pair_features_with_schema(rp, sch, leven_thresh=1)
     return dr.select(
         *[F.round(c, 6).alias(c) if c in _CFG_ROUND else F.col(c)
@@ -511,12 +571,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ER pipeline (SURVEY.md §2)
         "er_preprocess": q_er_preprocess,
         "er_mustlinks": q_er_mustlinks,
+        "er_mustlinks_multi": q_er_mustlinks_multi,
+        "er_labels_multi": q_er_labels_multi,
         "er_blockstats": q_er_blockstats,
         "er_penalty": q_er_penalty,
         "er_det_candidates": q_er_det_candidates,
         "er_lsh_candidates": q_er_lsh_candidates,
         "er_candidates": q_er_candidates,
         "er_candidates_bs": q_er_candidates_bs,
+        "er_candidates_cov": q_er_candidates_cov,
         "er_pair_features": q_er_pair_features,
         "er_nameprob_features": q_er_nameprob_features,
         "er_cc_mustlinks": q_er_cc_mustlinks,
@@ -558,12 +621,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "er_preprocess": oracles.er_preprocess(),
         "er_mustlinks": oracles.er_mustlinks(),
+        "er_mustlinks_multi": oracles.er_mustlinks_multi(),
+        "er_labels_multi": oracles.er_labels_multi(),
         "er_blockstats": oracles.er_blockstats(),
         "er_penalty": oracles.er_penalty(),
         "er_det_candidates": oracles.er_det_candidates(),
         "er_lsh_candidates": oracles.er_lsh_candidates(),
         "er_candidates": oracles.er_candidates(),
         "er_candidates_bs": oracles.er_candidates_bs(),
+        "er_candidates_cov": oracles.er_candidates_cov(),
         "er_pair_features": oracles.er_pair_features(),
         "er_nameprob_features": oracles.er_nameprob_features(),
         "er_cc_mustlinks": oracles.er_cc_mustlinks(),

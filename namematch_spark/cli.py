@@ -88,6 +88,10 @@ def standardize(an, schema):
         renames[bs["edit_distance"]["variable"]] = "dob"
     if bs.get("absvalue_distance", {}).get("variable"):
         renames[bs["absvalue_distance"]["variable"]] = "age"
+    # first UniqueID variable → engine "uid"; FURTHER UniqueID
+    # variables ride along under their own names and are passed to the
+    # pipeline via uid_cols (the reference loops all of them:
+    # generate_must_links.py:160-184, cluster.py:304-324)
     uids = schema.uid_vars()
     if uids:
         renames[uids[0]] = "uid"
@@ -125,6 +129,10 @@ def cmd_stage(args, stop_after: str | None, with_output: bool) -> int:
         jw_variant=cfg_dict.get("jw_variant", "standard"),
         allow_clusters_w_multiple_unique_ids=cfg_dict.get(
             "allow_clusters_w_multiple_unique_ids", False),
+        # every UniqueID variable: the first is standardized onto
+        # "uid", the rest keep their config names
+        uid_cols=(["uid"] + schema.uid_vars()[1:]
+                  if schema.uid_vars() else ["uid"]),
         evaluate=cfg_dict.get("evaluate", False),
         # incremental mode: --index-dir (or config key) switches the
         # candidates stage to the persisted blocking index, and an
@@ -154,6 +162,27 @@ def cmd_stage(args, stop_after: str | None, with_output: bool) -> int:
                 output_clusterid_tables(raw_by_file, schema,
                                         res.clusters),
                 args.output_dir, fmt=args.output_format)
+            # M6 artifact (reference fit_model.py:81,228 writes
+            # flipped0_potential_edges.csv every full run): labeled-0
+            # pairs scored above their model's threshold.  Rows only
+            # when allow_clusters_w_multiple_unique_ids (the reference
+            # returns an empty frame otherwise, fit_model.py:748-749);
+            # header-only CSV still written so consumers can rely on
+            # the file.  Driver-side like the reference's to_csv — the
+            # set is the model/label disagreement tail, small by
+            # construction.
+            from pyspark.sql import functions as F
+            f0_cols = ["dr_id", "record_id_1", "record_id_2",
+                       "model_to_use", "label", "phat"]
+            f0 = res.potential_links.filter(F.col("label") == "0") \
+                .select(*[c for c in f0_cols
+                          if c in res.potential_links.columns])
+            if not pcfg.allow_clusters_w_multiple_unique_ids:
+                f0 = f0.limit(0)
+            f0.toPandas().to_csv(
+                os.path.join(args.output_dir,
+                             "flipped0_potential_edges.csv"),
+                index=False)
         info = {
             "config_file": os.path.abspath(args.config_file),
             "output_dir": os.path.abspath(args.output_dir),

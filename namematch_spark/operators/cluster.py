@@ -182,7 +182,8 @@ def _uids_compatible_factory(leven_thresh: int | None,
 
 def _cogroup_replay_factory(leven_thresh: int | None, constraints,
                             eid_col: str | None = None,
-                            allow_multiple_uids: bool = False):
+                            allow_multiple_uids: bool = False,
+                            uid_cols: list[str] | None = None):
     """Per-component greedy merge with the FULL constraints surface
     (G3, ``cluster.py:650-713``): runs on cogrouped (edges, records)
     for one component; ``apply_link_priority`` reorders the edges
@@ -191,6 +192,8 @@ def _cogroup_replay_factory(leven_thresh: int | None, constraints,
     sees the member records as a pandas frame, like the reference."""
     uids_compatible = _uids_compatible_factory(leven_thresh,
                                                allow_multiple_uids)
+    if uid_cols is None:
+        uid_cols = ["uid"]
 
     def replay(edges_pdf: pd.DataFrame,
                recs_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -205,7 +208,10 @@ def _cogroup_replay_factory(leven_thresh: int | None, constraints,
         edges_pdf = constraints.apply_link_priority(edges_pdf)
 
         recs = recs_pdf.set_index("record_id", drop=False)
-        uid_of = recs["uid"].to_dict() if "uid" in recs else {}
+        # one record_id -> uid map per UniqueID variable: the auto
+        # cluster constraint applies to EACH variable independently
+        # (reference cluster.py:304-324 loops `for uid_col in uid_cols`)
+        uid_maps = [recs[c].to_dict() for c in uid_cols if c in recs]
         eid_of = (recs[eid_col].to_dict()
                   if eid_col and eid_col in recs else {})
         parent: dict[str, str] = {}
@@ -226,8 +232,11 @@ def _cogroup_replay_factory(leven_thresh: int | None, constraints,
             if r1 == r2:
                 continue
             merged = members[r1] + members[r2]
-            uids = {uid_of.get(r, "") for r in merged}
-            if not uids_compatible({u for u in uids if u}):
+            if not all(
+                uids_compatible({u for u in (m.get(r, "")
+                                             for r in merged) if u})
+                for m in uid_maps
+            ):
                 continue
             # incremental auto constraint: at most one ExistingID per
             # cluster (reference cluster.py:293-295)
@@ -296,7 +305,8 @@ def constrained_clusters(potential_edges: DataFrame,
                          eid_col: str | None = None,
                          max_component: int = 100_000,
                          allow_multiple_uids: bool = False,
-                         metrics: dict | None = None) -> DataFrame:
+                         metrics: dict | None = None,
+                         uid_cols: list[str] | None = None) -> DataFrame:
     """G1-G5 — full constrained clustering.
 
     ``potential_edges``: scored pairs with dr_id/gt/phat columns.
@@ -324,10 +334,22 @@ def constrained_clusters(potential_edges: DataFrame,
     containing an eid keep that id — so a month-2 run leaves month-1
     cluster ids stable.
 
+    Multi-UniqueID (``uid_cols``, default ``["uid"]``): the reference
+    loops every UniqueID variable.  The EDGE veto fires only when every
+    both-known variable conflicts (``auto_is_valid_edge``,
+    ``cluster.py:246-270``: invalid iff ``attempts > 0 and attempts ==
+    violations``); the CLUSTER constraint fires when ANY variable has
+    > 1 distinct uid (``auto_is_valid_cluster``, ``cluster.py:304-324``
+    loops ``for uid_col in uid_cols`` — here each variable must pass;
+    the reference's early ``return`` inside the leven branch skips
+    later variables, a quirk we deliberately don't copy).
+
     Returns (record_id, cluster_id) covering every non-dropped record
     (singletons get their own id).
     """
     from namematch_spark.constraints import Constraints
+    if uid_cols is None:
+        uid_cols = ["uid"]
     user_hooks = constraints is not None or is_valid_cluster is not None
     if constraints is None:
         if is_valid_cluster is not None:
@@ -339,8 +361,9 @@ def constrained_clusters(potential_edges: DataFrame,
         else:
             constraints = Constraints(get_columns_used=lambda: {"uid": "str"})
     cols = constraints.columns_used(all_names.columns)
-    if "uid" in all_names.columns and "uid" not in cols:
-        cols = ["uid"] + cols
+    for u in reversed(uid_cols):
+        if u in all_names.columns and u not in cols:
+            cols = [u] + cols
     if eid_col is not None and eid_col not in cols:
         cols = cols + [eid_col]
 
@@ -350,27 +373,38 @@ def constrained_clusters(potential_edges: DataFrame,
     # records carry known, genuinely-different uids — BEFORE connected
     # components, like the reference, so impossible merges don't glue
     # components together.  gt edges are exempt (initial components).
-    rec_uid = all_names.select("record_id", "uid")
+    # Multi-uid: invalid only when EVERY both-known variable conflicts
+    # (attempts > 0 and attempts == violations, cluster.py:246-270).
+    uid_avail = [u for u in uid_cols if u in all_names.columns]
+    rec_uid = all_names.select("record_id", *uid_avail)
     pot = (
         pot
         .join(rec_uid.select(F.col("record_id").alias("record_id_1"),
-                             F.col("uid").alias("__u1")), "record_id_1")
+                             *[F.col(u).alias(f"__{u}_1")
+                               for u in uid_avail]), "record_id_1")
         .join(rec_uid.select(F.col("record_id").alias("record_id_2"),
-                             F.col("uid").alias("__u2")), "record_id_2")
+                             *[F.col(u).alias(f"__{u}_2")
+                               for u in uid_avail]), "record_id_2")
     )
-    conflict = (F.col("__u1") != "") & (F.col("__u2") != "") \
-        & (F.col("__u1") != F.col("__u2"))
-    if leven_thresh is not None:
-        conflict = conflict & (
-            F.levenshtein("__u1", "__u2") > leven_thresh)
+    attempts = violations = F.lit(0)
+    for u in uid_avail:
+        u1, u2 = F.col(f"__{u}_1"), F.col(f"__{u}_2")
+        known = (u1 != "") & (u2 != "")
+        viol = known & (u1 != u2)
+        if leven_thresh is not None:
+            viol = viol & (F.levenshtein(u1, u2) > leven_thresh)
+        attempts = attempts + known.cast("int")
+        violations = violations + viol.cast("int")
+    conflict = (attempts > 0) & (attempts == violations)
+    uid_tmp = [f"__{u}_{s}" for u in uid_avail for s in (1, 2)]
     if allow_multiple_uids:
         # allow_clusters_w_multiple_unique_ids: the automated uid veto
         # is off (reference cluster.py:242-245) — flipped-0 edges
         # (labeled 0, scored above threshold) are admissible
-        pot = pot.drop("__u1", "__u2")
+        pot = pot.drop(*uid_tmp)
     else:
         pot = (pot.filter((F.col("gt") == 1) | ~conflict)
-               .drop("__u1", "__u2"))
+               .drop(*uid_tmp))
     eids = None
     if eid_col is not None:
         eids = all_names.filter(F.col(eid_col) != "").select(
@@ -422,29 +456,30 @@ def constrained_clusters(potential_edges: DataFrame,
         comp.withColumnRenamed("record_id", "record_id_1")
         .withColumnRenamed("cluster_id", "component_id"), "record_id_1")
 
-    # triage: a component is "clean" when its records carry <= 1
-    # distinct non-empty uid — the AUTO constraint can't fire, so its
-    # CC result is final without replay.  With user hooks, every merge
-    # must face is_valid_cluster (reference applies it to each
-    # non-gt merge), so all components replay.
+    # triage: a component is "clean" when EVERY uid variable has <= 1
+    # distinct non-empty value among its records — the AUTO constraint
+    # can't fire, so its CC result is final without replay.  With user
+    # hooks, every merge must face is_valid_cluster (reference applies
+    # it to each non-gt merge), so all components replay.
     if user_hooks:
         dirty_comps = edges_c.select("component_id").distinct()
     else:
         per_comp = (
-            comp.join(all_names.select("record_id", "uid", *(
+            comp.join(all_names.select("record_id", *uid_avail, *(
                 [eid_col] if eid_col else [])), "record_id")
             .groupBy("cluster_id")
-            .agg(F.countDistinct(F.when(F.col("uid") != "",
-                                        F.col("uid"))).alias("n_uid"),
+            .agg(*[F.countDistinct(F.when(F.col(u) != "", F.col(u)))
+                   .alias(f"n_{u}") for u in uid_avail],
                  *([F.countDistinct(
                      F.when(F.col(eid_col) != "", F.col(eid_col)))
                      .alias("n_eid")] if eid_col else []))
         )
-        dirty_cond = F.col("n_uid") > 1
-        if allow_multiple_uids:
-            # uid multiplicity is permitted — only eid conflicts (or
-            # user hooks, handled above) force a replay
-            dirty_cond = F.lit(False)
+        dirty_cond = F.lit(False)
+        if not allow_multiple_uids:
+            # ANY uid variable with > 1 distinct value can violate the
+            # per-variable cluster constraint (cluster.py:304-324)
+            for u in uid_avail:
+                dirty_cond = dirty_cond | (F.col(f"n_{u}") > 1)
         if eid_col:
             dirty_cond = dirty_cond | (F.col("n_eid") > 1)
         dirty_comps = per_comp.filter(dirty_cond).select(
@@ -476,7 +511,8 @@ def constrained_clusters(potential_edges: DataFrame,
     )
     replay = _cogroup_replay_factory(leven_thresh, constraints,
                                      eid_col=eid_col,
-                                     allow_multiple_uids=allow_multiple_uids)
+                                     allow_multiple_uids=allow_multiple_uids,
+                                     uid_cols=uid_avail or None)
     replayed = (
         dirty_edges.groupBy("component_id")
         .cogroup(dirty_recs.groupBy("component_id"))

@@ -29,19 +29,10 @@ def uid_cardinality(all_names: DataFrame, uid_col: str = "uid") -> DataFrame:
     )
 
 
-def must_links(all_names: DataFrame, uid_col: str = "uid",
-               max_records_per_uid: int = 1000) -> DataFrame:
-    """J1 + J2 + A6 — self-join on uid, canonical ordering, dedup.
-
-    Output schema (reference ``generate_must_links.py:126-136``):
-    ``record_id_1, record_id_2, blockstring_1, blockstring_2,
-    drop_from_nm_1, drop_from_nm_2``.
-
-    Canonical ordering keeps ``blockstring_1 < blockstring_2 OR
-    (equal AND record_id_1 < record_id_2)`` — the reference's J2 filter
-    (``generate_must_links.py:166-169``) — so each unordered pair appears
-    exactly once.
-    """
+def _must_links_one(all_names: DataFrame, uid_col: str,
+                    max_records_per_uid: int) -> DataFrame:
+    """Self-join on one UniqueID variable (one iteration of the
+    reference's per-ml_var loop, ``generate_must_links.py:160-184``)."""
     base = (
         all_names
         .filter(F.col(uid_col) != "")
@@ -58,7 +49,7 @@ def must_links(all_names: DataFrame, uid_col: str = "uid",
 
     a = safe.alias("a")
     b = safe.alias("b")
-    pairs = (
+    return (
         a.join(b, F.col("a.__uid") == F.col("b.__uid"))
         .filter(
             (F.col("a.blockstring") < F.col("b.blockstring"))
@@ -71,6 +62,32 @@ def must_links(all_names: DataFrame, uid_col: str = "uid",
             F.col("b.blockstring").alias("blockstring_2"),
             F.col("a.drop_from_nm").alias("drop_from_nm_1"),
             F.col("b.drop_from_nm").alias("drop_from_nm_2"))
-        .dropDuplicates(["record_id_1", "record_id_2"])
     )
-    return pairs
+
+
+def must_links(all_names: DataFrame,
+               uid_col: str | list[str] = "uid",
+               max_records_per_uid: int = 1000) -> DataFrame:
+    """J1 + J2 + A6 — self-join(s) on the UniqueID variable(s),
+    canonical ordering, dedup.
+
+    ``uid_col`` may be a list: the reference loops over EVERY
+    UniqueID variable, unions the per-variable pair sets, and
+    de-duplicates pairs that match on several IDs
+    (``generate_must_links.py:160-193``) — e.g. SSN + agency ID.
+
+    Output schema (reference ``generate_must_links.py:126-136``):
+    ``record_id_1, record_id_2, blockstring_1, blockstring_2,
+    drop_from_nm_1, drop_from_nm_2``.
+
+    Canonical ordering keeps ``blockstring_1 < blockstring_2 OR
+    (equal AND record_id_1 < record_id_2)`` — the reference's J2 filter
+    (``generate_must_links.py:166-169``) — so each unordered pair appears
+    exactly once.
+    """
+    uid_cols = [uid_col] if isinstance(uid_col, str) else list(uid_col)
+    out = _must_links_one(all_names, uid_cols[0], max_records_per_uid)
+    for c in uid_cols[1:]:
+        out = out.unionByName(
+            _must_links_one(all_names, c, max_records_per_uid))
+    return out.dropDuplicates(["record_id_1", "record_id_2"])

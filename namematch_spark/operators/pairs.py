@@ -49,12 +49,17 @@ def dim_join_side(parent: DataFrame, d: DataFrame) -> DataFrame:
     return d if aqe else F.broadcast(d)
 
 
-def expand_bs_to_record_pairs(cand_bs: DataFrame, all_names: DataFrame
+def expand_bs_to_record_pairs(cand_bs: DataFrame, all_names: DataFrame,
+                              extra_attrs: list[str] | None = None
                               ) -> DataFrame:
     """J6 + J7 at the reference's granularity: *blockstring* pairs ×
     records → side-by-side record pairs (``generate_data_rows.py:
     363-401``).  The blockstring key is ``nn_string::dob`` as built by
     :func:`blocking.candidate_blockstring_pairs`.
+
+    ``extra_attrs``: additional all-names columns to carry side-by-side
+    (e.g. secondary UniqueID variables for the multi-uid consensus
+    label).
 
     Records-per-blockstring is near 1 in realistic data (name+dob is
     almost a person key), so this expansion is ~linear — the quadratic
@@ -62,6 +67,9 @@ def expand_bs_to_record_pairs(cand_bs: DataFrame, all_names: DataFrame
     """
     attrs = ["record_id", "first_name", "last_name", "dob", "gender",
              "age", "uid"]
+    for a in extra_attrs or []:
+        if a not in attrs:
+            attrs.append(a)
     an = (
         all_names
         .filter(F.col("drop_from_nm") == 0)
@@ -273,6 +281,27 @@ def label_expr(leven_thresh: int | None = None) -> Column:
     ).otherwise(base)
 
 
+def label_expr_multi(uid_vars: list[str],
+                     leven_thresh: int | None = None) -> Column:
+    """F14 consensus across SEVERAL UniqueID variables (reference
+    ``comparison_functions.py:349-396``): per-variable 3-state labels
+    are combined so only pairs that ALWAYS agree become ``'1'``
+    (num_0s == 0 and num_1s > 0) and only pairs that ALWAYS disagree
+    become ``'0'`` (num_0s > 0 and num_1s == 0); any conflict — or no
+    usable variable — yields ``''``.
+
+    A single variable degenerates to :func:`label_expr_for` exactly.
+    """
+    per_var = [label_expr_for(v, leven_thresh) for v in uid_vars]
+    num_1s = sum((lbl == "1").cast("int") for lbl in per_var)
+    num_0s = sum((lbl == "0").cast("int") for lbl in per_var)
+    return (
+        F.when((num_0s == 0) & (num_1s > 0), F.lit("1"))
+        .when((num_0s > 0) & (num_1s == 0), F.lit("0"))
+        .otherwise(F.lit(""))
+    )
+
+
 def exactmatch_expr(exact_vars: list[str],
                     negate_vars: list[str] | None = None) -> Column:
     """F13 — all exact-match variables equal & non-missing; negated
@@ -339,9 +368,17 @@ def pair_features(record_pairs: DataFrame,
                   negate_exact_vars: list[str] | None = None,
                   pctl_dims: dict | None = None,
                   name_probs: DataFrame | None = None,
-                  jw_variant: str = "standard") -> DataFrame:
+                  jw_variant: str = "standard",
+                  uid_cols: list[str] | None = None) -> DataFrame:
     """Full feature table over side-by-side record pairs (the
     "data-rows" table, ``generate_data_rows.py:182-190``).
+
+    ``uid_cols``: the UniqueID variable(s) the label derives from
+    (default ``["uid"]``).  With several, the label is the reference's
+    consensus — '1'/'0' only when every usable variable agrees
+    (:func:`label_expr_multi`, ``comparison_functions.py:389-396``);
+    ``record_pairs`` must then carry each ``{var}_1/_2`` pair (use
+    ``expand_bs_to_record_pairs(..., extra_attrs=uid_cols)``).
 
     Optional name-probability stage (reference order,
     ``generate_data_rows.py:226-259``): percentile features are looked
@@ -350,9 +387,15 @@ def pair_features(record_pairs: DataFrame,
     (``name_probs`` from :func:`nameprob.name_log_probs`) may flip
     fn/ln before the string features are computed.
     """
+    if not uid_cols:
+        uid_cols = ["uid"]
     if exact_vars is None:
         exact_vars = ["first_name", "last_name", "dob"]
     extra_cols: list[str] = []
+    if "covered_pair" in record_pairs.columns:
+        # U3 flag rides into the data rows (reference keeps it through
+        # generate_data_rows / fit_model, fit_model.py:734)
+        extra_cols.append("covered_pair")
     if pctl_dims is not None:
         from namematch_spark.operators.nameprob import pctl_pair_features
         record_pairs = pctl_pair_features(record_pairs, pctl_dims)
@@ -377,7 +420,8 @@ def pair_features(record_pairs: DataFrame,
         *feats,
         exactmatch_expr(exact_vars, negate_exact_vars)
         .alias("exactmatch"),
-        label_expr(leven_thresh).alias("label"))
+        (label_expr(leven_thresh) if uid_cols == ["uid"]
+         else label_expr_multi(uid_cols, leven_thresh)).alias("label"))
 
     dim = _py_metrics_dim(record_pairs, ["first_name", "last_name"],
                           jw_variant=jw_variant)
@@ -450,7 +494,11 @@ def pair_features_with_schema(record_pairs: DataFrame, schema,
         uid = uid_vars[0]
         keep += [F.col(f"{uid}_1").alias("uid_1"),
                  F.col(f"{uid}_2").alias("uid_2")]
-        label_cols = [label_expr_for(uid, leven_thresh).alias("label")]
+        # consensus across ALL UniqueID variables (reference
+        # comparison_functions.py:389-396) — one variable degenerates
+        # to the single-uid label exactly
+        label_cols = [label_expr_multi(uid_vars, leven_thresh)
+                      .alias("label")]
     carried = sorted({f"{v}_{s}" for v in string_vars for s in (1, 2)})
     base = record_pairs.select(*keep, *carried, *feats, *label_cols)
 

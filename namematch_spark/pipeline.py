@@ -60,12 +60,25 @@ class PipelineConfig:
     #: … or the full 4-hook reference plug-in
     #: (:class:`namematch_spark.constraints.Constraints`).
     constraints: object | None = None
+    #: UniqueID variable(s) (reference config ``UniqueID`` compare_type
+    #: — can be SEVERAL columns, e.g. SSN + agency ID).  Must-links are
+    #: unioned over every variable (``generate_must_links.py:160-184``),
+    #: labels use the all-agree consensus
+    #: (``comparison_functions.py:389-396``) and the cluster constraint
+    #: applies per variable (``cluster.py:304-324``).
+    uid_cols: list[str] = field(default_factory=lambda: ["uid"])
     #: reference ``allow_clusters_w_multiple_unique_ids``
     #: (``default_parameters.yaml`` / ``cluster.py:242-245``): when
     #: True the automated uid-conflict edge veto is OFF and flipped-0
     #: pairs (labeled 0, scored ≥ threshold) are admitted as potential
     #: edges (``cluster.py:461-464``).
     allow_clusters_w_multiple_unique_ids: bool = False
+    #: U3 — append must-link blockstring pairs that blocking missed to
+    #: the candidate stream with ``covered_pair = 0`` (reference
+    #: ``block.py:872-904``), so ground-truth pairs always get data
+    #: rows/features.  Skipped in incremental mode (the injection scans
+    #: the full must-link set — cost ∝ corpus, not batch).
+    inject_uncovered: bool = True
     #: incremental mode (reference ``block.py:467-532`` +
     #: ``cluster.py:140-144``): a persisted blocking-index dir makes
     #: the candidates stage query only names seen in ``file_type ==
@@ -91,6 +104,8 @@ class PipelineConfig:
             "grid_min_instances": self.grid_min_instances,
             "name_prob": self.name_prob,
             "jw_variant": self.jw_variant,
+            "uid_cols": self.uid_cols,
+            "inject_uncovered": self.inject_uncovered,
             "allow_multiple_uids":
                 self.allow_clusters_w_multiple_unique_ids,
             "incremental_index_dir": self.incremental_index_dir,
@@ -188,7 +203,8 @@ def run_pipeline(records: DataFrame,
                else (lambda: preprocess(records)), [])
     if stop_after == "all_names":
         return PipelineResult(all_names=an)
-    ml = stage("must_links", lambda: must_links(an), ["all_names"])
+    ml = stage("must_links", lambda: must_links(an, uid_col=cfg.uid_cols),
+               ["all_names"])
     if stop_after == "must_links":
         return PipelineResult(all_names=an, must_links=ml)
     blocking_info: dict = {}
@@ -203,18 +219,24 @@ def run_pipeline(records: DataFrame,
                 rows_per_band=cfg.rows_per_band)
             blocking_info.update(info)
             return bsp
-        return B.candidate_blockstring_pairs(
+        bsp = B.candidate_blockstring_pairs(
             an, bars=cfg.bars, num_hashes=cfg.num_hashes,
             rows_per_band=cfg.rows_per_band)
+        if cfg.inject_uncovered:
+            bsp = B.add_uncovered_pairs(bsp, ml, an)
+        return bsp
 
-    cand = stage("candidates", _candidates, ["all_names"])
+    cand = stage("candidates", _candidates,
+                 ["all_names"] + (["must_links"]
+                                  if cfg.inject_uncovered else []))
 
     def _data_rows() -> DataFrame:
         # the feature plan consumes the expansion three times (base +
         # two metric-dim subqueries, which execute CONCURRENTLY) —
         # populate the cache eagerly or each cold consumer recomputes
         # the expansion lineage itself (see blocking._scoped_cache)
-        rp = expand_bs_to_record_pairs(cand, an).cache()
+        rp = expand_bs_to_record_pairs(
+            cand, an, extra_attrs=cfg.uid_cols).cache()
         if B.eager_cache_enabled():
             rp.count()
         pctl_dims = probs = None
@@ -230,7 +252,8 @@ def run_pipeline(records: DataFrame,
                          for k, v in NP.percentile_dims(anf).items()}
         return pair_features(rp, leven_thresh=cfg.leven_thresh,
                              pctl_dims=pctl_dims, name_probs=probs,
-                             jw_variant=cfg.jw_variant)
+                             jw_variant=cfg.jw_variant,
+                             uid_cols=cfg.uid_cols)
 
     if stop_after == "candidates":
         return PipelineResult(all_names=an, must_links=ml,
@@ -315,7 +338,8 @@ def run_pipeline(records: DataFrame,
         constraints=cfg.constraints,
         allow_multiple_uids=cfg.allow_clusters_w_multiple_unique_ids,
         eid_col=cfg.existing_id_col,
-        metrics=cluster_metrics),
+        metrics=cluster_metrics,
+        uid_cols=cfg.uid_cols),
         ["potential_links", "must_links"])
 
     metrics = {

@@ -15,7 +15,8 @@ engines comes from:
 from __future__ import annotations
 
 from namematch_spark.operators.blocking import MERSENNE_P, _lcg_pairs
-from namematch_spark.sources.records import person_records_oracle_cte
+from namematch_spark.sources.records import (person_records_oracle_cte,
+                                             person_records_uid2_oracle_cte)
 
 P = MERSENNE_P
 
@@ -434,6 +435,86 @@ SELECT * FROM ml
 """
 
 
+PERSON_UID2 = person_records_uid2_oracle_cte("orders")
+
+# all-names CTE over the two-UniqueID derivation: identical cleaning,
+# uid2 rides along
+AN_UID2 = AN.replace("dob, gender, age, uid,", "dob, gender, age, uid, uid2,")
+assert AN_UID2 != AN, "AN select list changed — update AN_UID2 splice"
+
+
+def er_mustlinks_multi() -> str:
+    """J1 over SEVERAL UniqueID variables: per-variable self-joins
+    unioned then de-duplicated on the record pair (reference
+    ``generate_must_links.py:160-193``).  blockstring/drop_from_nm are
+    per-record so DISTINCT over all columns == pair-level dedup."""
+    per_var = "\n  UNION ALL\n".join(f"""
+  SELECT a.record_id  AS record_id_1,
+         b.record_id  AS record_id_2,
+         a.blockstring AS blockstring_1,
+         b.blockstring AS blockstring_2,
+         a.drop_from_nm AS drop_from_nm_1,
+         b.drop_from_nm AS drop_from_nm_2
+  FROM an a JOIN an b ON a.{u} = b.{u}
+  WHERE a.{u} <> '' AND b.{u} <> ''
+    AND (a.blockstring < b.blockstring
+         OR (a.blockstring = b.blockstring
+             AND a.record_id < b.record_id))""".rstrip()
+        for u in ("uid", "uid2"))
+    return f"""
+WITH person AS ({PERSON_UID2}),
+{AN_UID2.strip()}
+SELECT DISTINCT * FROM (
+{per_var}
+)
+"""
+
+
+def _label3_sql(c1: str, c2: str, leven_thresh: int = 1) -> str:
+    return f"""CASE WHEN {c1}='' OR {c2}='' THEN ''
+       WHEN {c1} = {c2} THEN '1'
+       WHEN levenshtein({c1}, {c2}) <= {leven_thresh} THEN ''
+       ELSE '0' END"""
+
+
+def er_labels_multi() -> str:
+    """F14 consensus labels over two UniqueID variables (reference
+    ``comparison_functions.py:349-396``): per-variable 3-state labels
+    plus the all-agree consensus, over the full candidate record-pair
+    expansion."""
+    return f"""
+WITH person AS ({PERSON_UID2}),
+{bs_candidates_cte(an_cte=AN_UID2).strip()},
+an2 AS (SELECT *, nn_string || '::' || dob AS bs
+        FROM an WHERE drop_from_nm = 0),
+rp AS (
+  SELECT a1.record_id AS record_id_1, a2.record_id AS record_id_2,
+         a1.uid AS uid_1, a2.uid AS uid_2,
+         a1.uid2 AS uid2_1, a2.uid2 AS uid2_2
+  FROM cand_bs c
+  JOIN an2 a1 ON a1.bs = c.blockstring_1
+  JOIN an2 a2 ON a2.bs = c.blockstring_2
+  WHERE c.blockstring_1 <> c.blockstring_2
+     OR a1.record_id < a2.record_id
+),
+lab AS (
+  SELECT record_id_1 || '__' || record_id_2 AS dr_id,
+    {_label3_sql("uid_1", "uid_2")} AS label_uid,
+    {_label3_sql("uid2_1", "uid2_2")} AS label_uid2
+  FROM rp
+)
+SELECT dr_id, label_uid, label_uid2,
+  CASE WHEN (label_uid='0')::INT + (label_uid2='0')::INT = 0
+            AND (label_uid='1')::INT + (label_uid2='1')::INT > 0
+       THEN '1'
+       WHEN (label_uid='0')::INT + (label_uid2='0')::INT > 0
+            AND (label_uid='1')::INT + (label_uid2='1')::INT = 0
+       THEN '0'
+       ELSE '' END AS label
+FROM lab
+"""
+
+
 def er_blockstats() -> str:
     return f"""
 WITH person AS ({PERSON}),
@@ -486,6 +567,72 @@ def er_candidates_bs() -> str:
 WITH person AS ({PERSON}),
 {bs_candidates_cte().strip()}
 SELECT blockstring_1, blockstring_2, cos_dist FROM cand_bs
+"""
+
+
+def er_candidates_cov() -> str:
+    """U3 — covered_pair flag + uncovered must-link injection
+    (reference ``block.py:741-829, 872-904``): candidate blockstring
+    pairs get covered_pair=1; non-equal-blockstring must-link pairs
+    missing from the candidate set (order-normalized key) are appended
+    with covered_pair=0 and the true weighted-shingle cosine distance
+    (reusing the vec/vnorm CTEs of the candidate chain)."""
+    return f"""
+WITH person AS ({PERSON}),
+{bs_candidates_cte().strip()},
+{ML.strip()},
+tp AS (
+  SELECT DISTINCT
+         least(b1, b2) AS blockstring_1,
+         greatest(b1, b2) AS blockstring_2
+  FROM (
+    SELECT string_split(m.blockstring_1, '::')[1] || ' '
+           || string_split(m.blockstring_1, '::')[2] || '::'
+           || string_split(m.blockstring_1, '::')[3] AS b1,
+           string_split(m.blockstring_2, '::')[1] || ' '
+           || string_split(m.blockstring_2, '::')[2] || '::'
+           || string_split(m.blockstring_2, '::')[3] AS b2
+    FROM ml m
+    WHERE m.drop_from_nm_1 = 0 AND m.drop_from_nm_2 = 0
+  )
+  WHERE b1 <> b2
+),
+ckeys AS (
+  SELECT least(blockstring_1, blockstring_2) AS blockstring_1,
+         greatest(blockstring_1, blockstring_2) AS blockstring_2
+  FROM cand_bs
+),
+up AS (
+  SELECT t.blockstring_1, t.blockstring_2,
+         string_split(t.blockstring_1, '::')[1] AS nn1,
+         string_split(t.blockstring_2, '::')[1] AS nn2
+  FROM tp t
+  ANTI JOIN ckeys c
+    ON c.blockstring_1 = t.blockstring_1
+   AND c.blockstring_2 = t.blockstring_2
+),
+upcos AS (
+  SELECT up.blockstring_1, up.blockstring_2,
+         round(1 - coalesce(d.dot, 0) / sqrt(n1.n2 * n2.n2), 6)
+            AS cos_dist
+  FROM up
+  LEFT JOIN (
+    SELECT u2.blockstring_1, u2.blockstring_2, sum(v1.w * v2.w) AS dot
+    FROM up u2
+    JOIN vec v1 ON v1.nn_string = u2.nn1
+    JOIN vec v2 ON v2.nn_string = u2.nn2 AND v2.sh = v1.sh
+    GROUP BY u2.blockstring_1, u2.blockstring_2
+  ) d ON d.blockstring_1 = up.blockstring_1
+     AND d.blockstring_2 = up.blockstring_2
+  JOIN vnorm n1 ON n1.nn_string = up.nn1
+  JOIN vnorm n2 ON n2.nn_string = up.nn2
+)
+SELECT blockstring_1, blockstring_2, round(cos_dist, 6) AS cos_dist,
+       1 AS covered_pair
+FROM cand_bs
+UNION ALL
+SELECT blockstring_1, blockstring_2, cos_dist, 0 AS covered_pair
+FROM upcos
 """
 
 

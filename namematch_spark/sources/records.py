@@ -111,6 +111,39 @@ FROM ({_BASE.strip()}) b
 """.strip()
 
 
+#: Two-UniqueID derivation (reference core use case: SSN + agency ID,
+#: ``generate_must_links.py:160-184``).  Wraps ``PERSON_RECORDS_SQL``
+#: with a second id column keyed on the same true entity but revealed /
+#: corrupted on DIFFERENT moduli, so the consensus surfaces are
+#: exercised: records where ``uid`` is blank may still must-link via
+#: ``uid2``; orderkey % 7 rows carry a WRONG agency id (points at the
+#: next entity), creating uid-vs-uid2 label conflicts that consensus
+#: must demote to ``''``.  record_id = 'ord__' || o_orderkey, so the
+#: orderkey is recoverable as SUBSTR(record_id, 6) in both engines.
+PERSON_RECORDS_UID2_SQL = f"""
+SELECT p.*,
+  CASE WHEN CAST(SUBSTR(p.record_id, 6) AS BIGINT) % 5 = 0
+       THEN ''
+       WHEN CAST(SUBSTR(p.record_id, 6) AS BIGINT) % 7 = 0
+       THEN 'A' || CAST(CAST(p.true_entity AS BIGINT) + 1 AS VARCHAR(20))
+       ELSE 'A' || p.true_entity END AS uid2
+FROM ({{person}}) p
+""".strip()
+
+
+def person_records_uid2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side two-UniqueID derivation."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("__nm_orders")
+    return spark.sql(PERSON_RECORDS_UID2_SQL.format(
+        person=PERSON_RECORDS_SQL.format(orders="__nm_orders")))
+
+
+def person_records_uid2_oracle_cte(orders_view: str = "orders") -> str:
+    return PERSON_RECORDS_UID2_SQL.format(
+        person=PERSON_RECORDS_SQL.format(orders=orders_view))
+
+
 _STREET = ["maple", "oak", "cedar", "elm", "birch", "walnut", "spruce",
            "willow", "ashwood", "lakeview", "hillcrest", "riverside",
            "sunset"]

@@ -101,3 +101,10 @@ def test_cli_stage_then_resume_full_run(spark, tmp_path):
     info2 = json.load(open(os.path.join(out, "nm_info.json")))
     assert "counts" in info2 and "phat_histogram" in info2
     assert info2["counts"]["clusters"] > 0
+    # M6 artifact (reference fit_model.py:81,228): written every full
+    # run; header-only here (allow_clusters_w_multiple_unique_ids off)
+    f0 = os.path.join(out, "flipped0_potential_edges.csv")
+    assert os.path.isfile(f0)
+    header = open(f0).readline().strip().split(",")
+    assert {"record_id_1", "record_id_2", "phat",
+            "label"} <= set(header)

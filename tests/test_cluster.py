@@ -100,6 +100,70 @@ def test_uid_conflict_tolerated_with_leven_thresh(spark):
     assert tol["A"] == tol["B"]
 
 
+def test_multi_uid_edge_and_cluster_constraint(spark):
+    # reference auto_is_valid_edge over SEVERAL UniqueID variables
+    # (cluster.py:246-270): an edge is invalid only when EVERY
+    # both-known variable conflicts; auto_is_valid_cluster
+    # (cluster.py:304-324) loops per variable — ANY violating variable
+    # splits the cluster.
+    an2uid = spark.createDataFrame(
+        [("A", "1", "X", 0), ("B", "2", "X", 0),   # uid conflict, uid2 agree
+         ("C", "3", "Y", 0), ("D", "4", "Z", 0)],  # conflict on BOTH
+        "record_id string, uid string, uid2 string, drop_from_nm int")
+
+    def edges(rows):
+        return spark.createDataFrame(
+            rows, ("dr_id string, record_id_1 string, record_id_2 "
+                   "string, gt int, phat double"))
+
+    # A-B: uid disagrees but uid2 agrees -> attempts=2, violations=1
+    # -> edge VALID; then the per-variable cluster constraint fires on
+    # uid (n_uid > 1) -> merge blocked in the replay
+    res = {r["record_id"]: r["cluster_id"]
+           for r in constrained_clusters(
+               edges([("A__B", "A", "B", 0, 0.95)]), _ml_empty(spark),
+               an2uid, leven_thresh=None,
+               uid_cols=["uid", "uid2"]).collect()}
+    assert res["A"] != res["B"]
+
+    # C-D: both variables conflict -> edge invalid (pre-CC veto)
+    res2 = {r["record_id"]: r["cluster_id"]
+            for r in constrained_clusters(
+                edges([("C__D", "C", "D", 0, 0.95)]), _ml_empty(spark),
+                an2uid, leven_thresh=None,
+                uid_cols=["uid", "uid2"]).collect()}
+    assert res2["C"] != res2["D"]
+
+    # same uid, uid2 missing on one side -> clean merge
+    an_ok = spark.createDataFrame(
+        [("E", "5", "W", 0), ("F", "5", "", 0)],
+        "record_id string, uid string, uid2 string, drop_from_nm int")
+    res3 = {r["record_id"]: r["cluster_id"]
+            for r in constrained_clusters(
+                edges([("E__F", "E", "F", 0, 0.95)]), _ml_empty(spark),
+                an_ok, leven_thresh=None,
+                uid_cols=["uid", "uid2"]).collect()}
+    assert res3["E"] == res3["F"]
+
+
+def test_mustlinks_multi_union(spark):
+    from namematch_spark.operators.mustlinks import must_links
+    an = spark.createDataFrame(
+        [("A", "1", "",  "bA", 0),
+         ("B", "1", "x", "bB", 0),     # A-B via uid
+         ("C", "",  "x", "bC", 0),     # B-C via uid2
+         ("D", "2", "y", "bD", 0)],    # linked to nobody
+        "record_id string, uid string, uid2 string, "
+        "blockstring string, drop_from_nm int")
+    got = {(r["record_id_1"], r["record_id_2"])
+           for r in must_links(an, uid_col=["uid", "uid2"]).collect()}
+    assert got == {("A", "B"), ("B", "C")}
+    # single-var call unchanged
+    got1 = {(r["record_id_1"], r["record_id_2"])
+            for r in must_links(an).collect()}
+    assert got1 == {("A", "B")}
+
+
 def test_user_constraint_hook(spark):
     # user is_valid_cluster can veto any merge
     an = _an(spark, [("A", "1", 0), ("B", "1", 0)])

@@ -32,6 +32,47 @@ def test_labels_with_thresh(spark):
     assert _labels(spark, 1) == ["1", "", "0", "", "0", ""]
 
 
+# consensus across two UniqueID variables (reference
+# ``generate_label`` num_1s/num_0s logic,
+# ``comparison_functions.py:389-396``): per-variable 3-state labels
+# combine to '1' only when no variable disagrees and at least one
+# agrees, '0' only when no variable agrees and at least one disagrees
+CONSENSUS_CASES = [
+    # (uid_1, uid_2, uid2_1, uid2_2, expected no-thresh, expected thresh=1)
+    ("1", "1", "A1", "A1", "1", "1"),    # both agree
+    ("1", "1", "", "A1", "1", "1"),      # agree + missing -> '1'
+    ("1", "1", "A12", "A21", "", ""),    # agree + disagree -> conflict
+    ("12", "21", "", "", "0", "0"),      # disagree + missing -> '0'
+    ("", "", "", "A1", "", ""),          # nothing usable
+    ("12", "21", "A12", "A21", "0", "0"),  # both disagree
+    # thresh demotes the near-miss var to '', changing the consensus:
+    ("7", "8", "A1", "A1", "", "1"),     # near-0 + 1: conflict -> '1'
+    ("7", "8", "", "", "0", ""),         # near-0 alone: '0' -> ''
+]
+
+
+def test_labels_multi_consensus(spark):
+    from namematch_spark.operators.pairs import label_expr_multi
+    df = spark.createDataFrame(
+        [c[:4] for c in CONSENSUS_CASES],
+        "uid_1 string, uid_2 string, uid2_1 string, uid2_2 string")
+    for thresh, idx in ((None, 4), (1, 5)):
+        got = [r["label"] for r in df.withColumn(
+            "label", label_expr_multi(["uid", "uid2"], thresh)).collect()]
+        assert got == [c[idx] for c in CONSENSUS_CASES], f"thresh={thresh}"
+
+
+def test_labels_multi_single_var_degenerates(spark):
+    from namematch_spark.operators.pairs import label_expr_multi
+    df = spark.createDataFrame(UID_PAIRS, "uid_1 string, uid_2 string")
+    for thresh in (None, 1):
+        single = [r["l"] for r in df.withColumn(
+            "l", label_expr(thresh)).collect()]
+        multi = [r["l"] for r in df.withColumn(
+            "l", label_expr_multi(["uid"], thresh)).collect()]
+        assert single == multi
+
+
 def test_feature_invariants(spark, all_names):
     from namematch_spark.operators import blocking as B
     from namematch_spark.operators.pairs import (expand_to_record_pairs,

@@ -24,7 +24,32 @@ def test_f1_gate(result):
 
 
 def test_pair_completeness(result):
-    assert result.metrics["pair_completeness"] >= 0.99
+    # U3 uncovered-pair injection (reference block.py:872-904): every
+    # ground-truth pair blocking missed is appended to the candidate
+    # stream, so data-row pair completeness on gt pairs is EXACTLY 1.0
+    assert result.metrics["pair_completeness"] == 1.0
+    assert "covered_pair" in result.data_rows.columns
+
+
+def test_pair_completeness_without_injection(spark):
+    from namematch_spark.operators import blocking as B
+    from namematch_spark.operators.mustlinks import must_links
+    from namematch_spark.operators.pairs import expand_bs_to_record_pairs
+    from namematch_spark.operators.preprocess import preprocess
+    from namematch_spark.sources.records import person_records
+    an = preprocess(person_records(spark, SF_SMALL))
+    cand = B.candidate_blockstring_pairs(an)
+    ml = must_links(an).filter((F.col("drop_from_nm_1") == 0)
+                               & (F.col("drop_from_nm_2") == 0))
+    raw = B.pair_completeness(
+        expand_bs_to_record_pairs(cand, an)
+        .select("record_id_1", "record_id_2"), ml)
+    inj = B.pair_completeness(
+        expand_bs_to_record_pairs(B.add_uncovered_pairs(cand, ml, an), an)
+        .select("record_id_1", "record_id_2"), ml)
+    assert raw >= 0.99          # blocking quality gate (pre-injection)
+    assert inj == 1.0           # injection closes the gap exactly
+    B.release_caches()
 
 
 def test_f1_vs_true_entities(result, spark):
