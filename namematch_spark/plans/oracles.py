@@ -1385,6 +1385,69 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
 """
 
 
+def doc_minhash_lsh_banded(threshold: float = 0.7,
+                           num_hashes: int = 16,
+                           rows_per_band: int = 4,
+                           max_bucket: int = 5000) -> str:
+    """Banded-LSH near-dup oracle (the SCALE configuration — bands of
+    ``rows_per_band`` minhashes, sub-linear candidate volume, recall
+    1−(1−s^r)^b < 1 by design).  Unlike :func:`doc_minhash_lsh` (which
+    pins rows_per_band=1 so the exact brute-force set is reproduced),
+    this replicates the BANDING itself in SQL — same md5-mod-P hash
+    chain, same LCG (a,b) streams, same '_'-joined band keys as
+    ``dedup.minhash_lsh_dedup`` — then verifies candidates with exact
+    string-shingle Jaccard, mirroring the Spark plan step for step."""
+    mins = ",\n         ".join(
+        f"list_min(list_transform(hv, h -> ({a}::BIGINT * h + {b})"
+        f" % {P})) AS m{i}"
+        for i, (a, b) in enumerate(_lcg_pairs(num_hashes)))
+    n_bands = num_hashes // rows_per_band
+    bands_union = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=b, key=" || '_' || ".join(
+                f"m{b * rows_per_band + j}::VARCHAR"
+                for j in range(rows_per_band)))
+        for b in range(n_bands))
+    return f"""
+WITH {DOC_SHINGLES.strip()},
+hs AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s ->
+             ('0x' || substring(md5(s), 1, 15))::BIGINT % {P}) AS hv
+  FROM shing
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hs
+),
+bands AS (
+{bands_union}
+),
+bsz AS (SELECT band, bkey, count(*) AS n FROM bands GROUP BY band, bkey),
+bandsg AS (
+  SELECT b.doc_id, b.band, b.bkey
+  FROM bands b JOIN bsz z ON z.band = b.band AND z.bkey = b.bkey
+  WHERE z.n > 1 AND z.n <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2
+  FROM bandsg l JOIN bandsg r ON l.band = r.band AND l.bkey = r.bkey
+  WHERE l.doc_id < r.doc_id
+)
+SELECT c.doc_id_1, c.doc_id_2,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+             6) AS jaccard
+FROM cand c
+JOIN shing a ON a.doc_id = c.doc_id_1
+JOIN shing b ON b.doc_id = c.doc_id_2
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      >= {threshold}
+"""
+
+
 def doc_ngram_jaccard(threshold: float = 0.5) -> str:
     return f"""
 WITH {DOC_SHINGLES.strip()}

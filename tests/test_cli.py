@@ -17,7 +17,11 @@ def _make_inputs(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from namematch_spark.sources.records import person_records
-    recs = person_records(spark, SF_SMALL)
+    # 1/3 deterministic subsample: the CLI e2e checks stage/resume/
+    # artifact semantics, not model quality — full sf0.001 tripled the
+    # RF/blocking cost for no extra coverage (VERDICT r4 #7)
+    recs = person_records(spark, SF_SMALL).filter(
+        F.abs(F.xxhash64("record_id", F.lit(7))) % 3 == 0)
     bucket = F.abs(F.xxhash64("record_id")) % 3
     a = recs.filter(bucket != 0)
     b = (recs.filter(bucket == 0)

@@ -31,25 +31,20 @@ def test_pair_completeness(result):
     assert "covered_pair" in result.data_rows.columns
 
 
-def test_pair_completeness_without_injection(spark):
+def test_pair_completeness_without_injection(result):
+    # the covered_pair==1 subset of the data rows IS the pre-injection
+    # candidate expansion (injection only appends covered_pair=0 rows;
+    # the anti-join is order-normalized so nothing duplicates) — so the
+    # blocking quality gate is checkable from the shared result
     from namematch_spark.operators import blocking as B
-    from namematch_spark.operators.mustlinks import must_links
-    from namematch_spark.operators.pairs import expand_bs_to_record_pairs
-    from namematch_spark.operators.preprocess import preprocess
-    from namematch_spark.sources.records import person_records
-    an = preprocess(person_records(spark, SF_SMALL))
-    cand = B.candidate_blockstring_pairs(an)
-    ml = must_links(an).filter((F.col("drop_from_nm_1") == 0)
-                               & (F.col("drop_from_nm_2") == 0))
+    ml = result.must_links.filter((F.col("drop_from_nm_1") == 0)
+                                  & (F.col("drop_from_nm_2") == 0))
     raw = B.pair_completeness(
-        expand_bs_to_record_pairs(cand, an)
+        result.data_rows.filter(F.col("covered_pair") == 1)
         .select("record_id_1", "record_id_2"), ml)
-    inj = B.pair_completeness(
-        expand_bs_to_record_pairs(B.add_uncovered_pairs(cand, ml, an), an)
-        .select("record_id_1", "record_id_2"), ml)
-    assert raw >= 0.99          # blocking quality gate (pre-injection)
-    assert inj == 1.0           # injection closes the gap exactly
-    B.release_caches()
+    assert raw >= 0.99          # blocking alone (pre-injection)
+    # injection closes the gap exactly (= metrics["pair_completeness"])
+    assert result.metrics["pair_completeness"] == 1.0
 
 
 def test_f1_vs_true_entities(result, spark):
