@@ -48,15 +48,20 @@ def _is_star_forest(e: DataFrame) -> bool:
     (roots are not leaves) AND (ii) every leaf hangs under exactly one
     root.  (i) alone accepts states like ``{(1,5),(2,5)}`` — two stars
     sharing a leaf, where roots 1 and 2 still need merging (ADVICE r3).
-    Two cheap probes over a checkpointed frame, run at most once per
-    convergence event."""
-    if e.join(e.select(F.col("dst").alias("src")),
-              "src", "semi").limit(1).count() != 0:
-        return False
-    multi = (e.groupBy("dst")
-             .agg(F.count_distinct("src").alias("__k"))
-             .filter(F.col("__k") > 1))
-    return multi.limit(1).count() == 0
+    Both probes union into ONE limit-1 job over a checkpointed frame,
+    run at most once per convergence event (each Spark action is a
+    serial driver round trip — the CC loop's job count is pure overhead
+    at any scale)."""
+    one = F.lit(1).alias("__bad")
+    roots_as_leaves = (
+        e.join(e.select(F.col("dst").alias("src")), "src", "semi")
+        .select(one).limit(1))
+    shared_leaves = (
+        e.groupBy("dst")
+        .agg(F.count_distinct("src").alias("__k"))
+        .filter(F.col("__k") > 1)
+        .select(one).limit(1))
+    return roots_as_leaves.unionAll(shared_leaves).limit(1).count() == 0
 
 
 def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
@@ -70,8 +75,24 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     — the iterative-join lineage would otherwise grow exponentially.
     """
     spark = edges.sparkSession
-    e = _canon_edges(edges).localCheckpoint(eager=True)
-    prev_sig: tuple = (None, None)
+
+    def _sig_of(df: DataFrame) -> tuple:
+        """Order-independent (count, hash) signature.  The frame is a
+        LAZY localCheckpoint: this agg is the action that materializes
+        it, so checkpoint + signature cost ONE job per round instead of
+        two (the loop's per-round job count is a serial driver barrier
+        at any scale)."""
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64("src", "dst"),
+                         F.lit(1_000_000_007))).alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    e = _canon_edges(edges).localCheckpoint(eager=False)
+    # signature of the INPUT edge set: an already-converged graph (all
+    # star forests — e.g. must-link stars, tiny components) is detected
+    # after ONE round instead of two
+    prev_sig = _sig_of(e)
 
     for _ in range(max_iter):
         # ---- large-star: connect every neighbor > u to min(N(u) ∪ {u})
@@ -105,19 +126,14 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
             .select(F.least("src", "dst").alias("src"),
                     F.greatest("src", "dst").alias("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # convergence = the edge set is a fixed point: one cheap
-        # shuffle-free agg over the just-checkpointed partitions (count +
-        # order-independent hash), compared against the previous round —
-        # replaces the earlier self-join probe, which cost two extra
-        # shuffles per round (the CC loop's per-round job count is pure
-        # overhead at any scale; see VERDICT r1 "what's wrong" #7)
-        sig_row = new_e.agg(
-            F.count("*").alias("n"),
-            F.sum(F.pmod(F.xxhash64("src", "dst"),
-                         F.lit(1_000_000_007))).alias("h")).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
+        # convergence = the edge set is a fixed point: the signature agg
+        # doubles as the checkpoint-materializing action (see _sig_of),
+        # compared against the previous round — replaces the earlier
+        # self-join probe, which cost two extra shuffles per round
+        # (VERDICT r1 "what's wrong" #7)
+        sig = _sig_of(new_e)
         e = new_e
         if sig == prev_sig:
             # The signature is probabilistic (collision ~1e-9/round);
