@@ -453,7 +453,12 @@ def main() -> None:
     qs = E.queries()
     # emb_knn_lsh (the scale path, oracle-green) is the headline ANN
     # entry; brute-force emb_knn stays a correctness-only query
-    headline = ["er_clusters", "doc_minhash_lsh", "doc_ngram_jaccard",
+    # doc_minhash_lsh pins the recall-maximal contract config
+    # (rows_per_band=1, candidate-heavy); _banded is the SCALE config
+    # (4 bands x 4 rows) — benching both keeps the recall/cost tradeoff
+    # visible round over round
+    headline = ["er_clusters", "doc_minhash_lsh", "doc_minhash_lsh_banded",
+                "doc_ngram_jaccard",
                 "doc_simhash", "doc_profile", "doc_dedup_exact",
                 "emb_knn_lsh", "agg_pricing_summary", "win_top_orders",
                 "join_nation_revenue", "events_hourly"]
@@ -665,14 +670,20 @@ def _write_bench_md(result: dict) -> None:
             *[f"| {k} | {v} |" for k, v in st.items()],
             "",
             "r5 attribution of the r4 regression (173.5 s → 324.0 s): "
-            "best-of-3 at identical sf0.1/local[32] measured 318.1 → "
-            "197.6 → 152.2 s on identical code and input, with the "
-            "swing concentrated inside single stages on identical "
-            "plans (candidates 130.0 s vs 59.7 s) — shared-host load, "
-            "not an engine regression; the quiet-window number beats "
-            "r3. Stage times are now logged every bench run "
-            "(`er_clusters_stages` in the JSON) so any future swing "
-            "is attributable at a glance.",
+            "best-of-3 at identical sf0.1/local[32] on the r4 code "
+            "measured 318.1 → 197.6 → 152.2 s on identical code and "
+            "input, with the swing concentrated inside single stages "
+            "on identical plans (candidates 130.0 s vs 59.7 s) — "
+            "shared-host load on the r4 measurement, not an engine "
+            "regression; the quiet-window number beats r3. Separately, "
+            "the r5 uncovered-pair injection initially DOUBLED the "
+            "candidates stage (93.4 s → 215.5 s measured in isolation: "
+            "its anti-join probe re-executed the whole blocking DAG "
+            "beside the main union arm) — fixed by scoped-caching the "
+            "candidate stream inside add_uncovered_pairs (64.2 s cold "
+            "after the fix, identical pairs). Stage times are logged "
+            "every bench run (`er_clusters_stages` in the JSON) so any "
+            "future swing is attributable at a glance.",
         ]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
