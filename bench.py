@@ -167,6 +167,25 @@ def scaled_person_records(spark, sf_dir: str, copies: int):
     return spark.sql(PERSON_RECORDS_SQL.format(orders="__nm_orders_scaled"))
 
 
+def er_clusters_attributed(spark, sf_dir: str) -> tuple[int, float, dict]:
+    """Run the flagship er_clusters pipeline and attribute wall time
+    per stage.  Returns (n_clusters_rows, total_seconds, stage_seconds)
+    where stage_seconds carries the pipeline's own per-stage timings
+    plus a derived ``count_action`` remainder.  Single source of truth
+    for the bench headline AND tools/profile_er_clusters.py — keep the
+    attribution math in exactly one place.
+    """
+    from namematch_spark.pipeline import run_pipeline
+    from namematch_spark.sources.records import person_records
+    t0 = time.time()
+    res = run_pipeline(person_records(spark, sf_dir))
+    n = res.clusters.count()
+    dt = time.time() - t0
+    stages = dict(res.metrics["stage_seconds"])
+    stages["count_action"] = round(dt - sum(stages.values()), 2)
+    return n, dt, stages
+
+
 def blocking_scoring_job(spark, sf_dir: str,
                          copies: int = 1) -> tuple[int, float]:
     """The throughput job: blocking -> record-pair expansion -> full
@@ -471,14 +490,7 @@ def main() -> None:
                 # in the bench output — the r4 regression (173.5 s ->
                 # 324.0 s) shipped unattributed because this path
                 # discarded them (VERDICT r4 #1)
-                from namematch_spark.pipeline import run_pipeline
-                from namematch_spark.sources.records import person_records
-                res = run_pipeline(person_records(spark, SF_DIR))
-                n = res.clusters.count()
-                dt = time.time() - t0
-                stages = dict(res.metrics["stage_seconds"])
-                stages["count_action"] = round(
-                    dt - sum(stages.values()), 2)
+                n, dt, stages = er_clusters_attributed(spark, SF_DIR)
                 extras["er_clusters_stages"] = stages
                 log(f"[bench] er_clusters stages: {stages}")
             else:
@@ -529,6 +541,9 @@ def _append_history(result: dict) -> None:
                 "|---|---|---|---|---|---|---|---|---|\n")
     s = result["scaling"]
     import datetime
+    # a failed headline query records -1.0 in queries; the frozen
+    # history table must show '—', not a bogus negative timing
+    ec = result["queries"].get("er_clusters", -1.0)
     with open(path, "a") as f:
         f.write(
             f"| {datetime.datetime.utcnow():%Y-%m-%d %H:%M} "
@@ -536,7 +551,7 @@ def _append_history(result: dict) -> None:
             f"| {s['throughput_high']:,} "
             f"| {s.get('throughput_solo', '—')} "
             f"| {s['efficiency']} | {s.get('efficiency_solo', '—')} "
-            f"| {result['queries'].get('er_clusters', '—')} "
+            f"| {ec if ec > 0 else '—'} "
             f"| {result['value']} |\n")
 
 

@@ -84,16 +84,24 @@ def build_blocking_index(nn: DataFrame, path: str,
     band = lsh_band_rows(nn, num_hashes=num_hashes,
                          rows_per_band=rows_per_band)
     staging = f"{path.rstrip('/')}_tmp_{uuid.uuid4().hex[:12]}"
-    band.write.mode("overwrite").partitionBy("band") \
-        .parquet(os.path.join(staging, "base"))
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.rename(staging, path)
+    try:
+        band.write.mode("overwrite").partitionBy("band") \
+            .parquet(os.path.join(staging, "base"))
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(staging, path)
+    except BaseException:
+        # don't leak an index-sized _tmp_* tree per failed rebuild
+        # (disk-full / schema error / concurrent-rebuild rename race);
+        # the loader never reads _tmp_* so removal is always safe
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     return band
 
 
 def _commit_increment(df: DataFrame, path: str) -> None:
     """Stage-then-rename append of secondary band rows."""
+    import errno
     import uuid
     staging = os.path.join(path, f"_tmp_{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").partitionBy("band").parquet(staging)
@@ -105,12 +113,17 @@ def _commit_increment(df: DataFrame, path: str) -> None:
             continue
         try:
             os.rename(staging, final)
-        except OSError:
+        except OSError as ex:
             # a concurrent writer won the slot between the exists()
             # check and the rename (rename onto a non-empty dir raises
-            # rather than clobbering) — take the next slot (ADVICE r4)
-            n += 1
-            continue
+            # rather than clobbering) — take the next slot (ADVICE r4).
+            # ONLY the slot-race errnos retry: anything else (staging
+            # vanished because a rebuild rmtree'd the index, EACCES,
+            # ...) is persistent and would spin this loop forever.
+            if ex.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                n += 1
+                continue
+            raise
         return
 
 

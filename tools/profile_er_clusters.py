@@ -10,7 +10,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -21,24 +20,22 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def main() -> None:
-    from bench import make_spark
-    from namematch_spark.pipeline import run_pipeline
-    from namematch_spark.sources.records import person_records
+    # attribution math lives in bench.er_clusters_attributed — one
+    # source of truth for the bench headline and this probe
+    from bench import er_clusters_attributed, make_spark
 
     results = []
     for i in range(ATTEMPTS):
         spark = make_spark(CPUS)
-        t0 = time.time()
-        res = run_pipeline(person_records(spark, SF_DIR))
-        n = res.clusters.count()
-        dt = round(time.time() - t0, 2)
-        stages = dict(res.metrics["stage_seconds"])
-        stages["count_action"] = round(dt - sum(stages.values()), 2)
+        n, dt, stages = er_clusters_attributed(spark, SF_DIR)
+        dt = round(dt, 2)
         print(json.dumps({"attempt": i, "rows": n, "total_sec": dt,
                           "stages": stages}), flush=True)
         results.append((dt, stages))
         spark.stop()
-    best = min(results)
+    # key= — bare min() would compare the stages dicts on a wall-time
+    # tie and raise TypeError at the very end of a long run
+    best = min(results, key=lambda r: r[0])
     print(json.dumps({"best_total_sec": best[0], "best_stages": best[1]}),
           flush=True)
 
