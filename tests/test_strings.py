@@ -4,7 +4,6 @@ implementation (property-based), NYSIIS/levenshtein known values."""
 from __future__ import annotations
 
 import duckdb
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -15,16 +14,15 @@ NAMES = st.text(alphabet=st.characters(min_codepoint=65, max_codepoint=90),
                 min_size=1, max_size=12)
 
 
-@pytest.fixture(scope="module")
-def duck():
-    return duckdb.connect()
+# one connection for the property tests: a fresh duckdb.connect() per
+# hypothesis example made these two tests ~40s of pure connect overhead
+_CON = duckdb.connect()
 
 
 @given(a=NAMES, b=NAMES)
 @settings(max_examples=300, deadline=None)
 def test_jaro_winkler_matches_duckdb(a, b):
-    con = duckdb.connect()
-    expected = con.execute(
+    expected = _CON.execute(
         "SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
     assert abs(jaro_winkler(a, b) - expected) < 1e-12
 
@@ -38,8 +36,7 @@ def test_jaro_winkler_known():
 @given(a=NAMES, b=NAMES)
 @settings(max_examples=200, deadline=None)
 def test_levenshtein_matches_duckdb(a, b):
-    con = duckdb.connect()
-    expected = con.execute(
+    expected = _CON.execute(
         "SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
     assert levenshtein(a, b) == expected
 
