@@ -462,9 +462,17 @@ def constrained_clusters(potential_edges: DataFrame,
             .alias("dr_id"),
             "record_id_1", "record_id_2",
             F.lit(1).alias("gt"), F.lit(1.0).alias("phat")))
+    # edges (the veto-join subtree) feeds CC AND the edge/component
+    # attach; comp feeds SEVEN consumers (edge attach, triage, clean
+    # assign, replay rec side, oversized assign, singleton anti-join,
+    # eid map).  Lazy localCheckpoints materialize each ONCE at the
+    # first action instead of re-executing the join/agg subtree per
+    # consumer — at scale that subtree is the working set itself.
+    edges = edges.localCheckpoint(eager=False)
 
     comp = connected_components(
-        edges.select("record_id_1", "record_id_2"))
+        edges.select("record_id_1", "record_id_2")) \
+        .localCheckpoint(eager=False)
 
     # attach component id to each edge (via record_id_1 — both endpoints
     # are in the same component by construction)
@@ -480,6 +488,8 @@ def constrained_clusters(potential_edges: DataFrame,
     if user_hooks:
         dirty_comps = edges_c.select("component_id").distinct()
     else:
+        # (dirty_comps below is consumed by five semi/anti joins —
+        # checkpointed after the branch)
         per_comp = (
             comp.join(all_names.select("record_id", *uid_avail, *(
                 [eid_col] if eid_col else [])), "record_id")
@@ -500,6 +510,7 @@ def constrained_clusters(potential_edges: DataFrame,
             dirty_cond = dirty_cond | (F.col("n_eid") > 1)
         dirty_comps = per_comp.filter(dirty_cond).select(
             F.col("cluster_id").alias("component_id"))
+    dirty_comps = dirty_comps.localCheckpoint(eager=False)
 
     clean_assign = comp.join(
         dirty_comps.withColumnRenamed("component_id", "cluster_id"),
@@ -563,8 +574,11 @@ def constrained_clusters(potential_edges: DataFrame,
         metrics["oversized_components"] = n_oversized
         metrics["oversized_records"] = n_oversized_records
 
+    # assigned appears twice in the final plan (singleton anti-join +
+    # union arm), three times with eids — checkpoint so the replay
+    # cogroup and its upstream run once
     assigned = clean_assign.unionByName(replayed).unionByName(
-        oversized_assign)
+        oversized_assign).localCheckpoint(eager=False)
 
     singles = (
         all_names.filter(F.col("drop_from_nm") == 0)

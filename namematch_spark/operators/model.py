@@ -322,20 +322,47 @@ def train_model_set(data_rows: DataFrame,
     feature vector and starts from a boosted default threshold."""
     if feature_cols is None:
         feature_cols = FEATURE_COLS
-    models = {"basic": train_match_model(
-        data_rows, feature_cols=feature_cols, num_trees=num_trees,
-        beta=beta, grid_min_instances=grid_min_instances)}
+    fits: dict[str, dict] = {"basic": dict(
+        feature_cols=feature_cols, default_threshold=0.5)}
     if missing_field is not None \
             and f"var_{missing_field}_missing" in data_rows.columns:
         excl = [c for c in feature_cols
                 if c.startswith(f"var_{missing_field}_")]
         cols2 = [c for c in feature_cols if c not in excl]
-        models[f"no_{missing_field}"] = train_match_model(
-            data_rows, feature_cols=cols2, num_trees=num_trees,
-            beta=beta,
-            default_threshold=0.5 + MISSINGNESS_THRESHOLD_BOOST,
-            grid_min_instances=grid_min_instances)
+        fits[f"no_{missing_field}"] = dict(
+            feature_cols=cols2,
+            default_threshold=0.5 + MISSINGNESS_THRESHOLD_BOOST)
+    if len(fits) > 1:
+        # The fits are independent (same universe, different feature
+        # vectors) — submit them from concurrent threads so their
+        # depth-sequential tree-building jobs interleave instead of
+        # serializing (RF training is latency-bound: ~maxDepth small
+        # jobs per fit).  Results are bit-identical to sequential fits
+        # (fixed seeds, unchanged partitioning).  Materialize the
+        # shared input FIRST: two threads against a cold cache would
+        # each recompute the full feature lineage (X16).
+        cached_here = not data_rows.is_cached
+        if cached_here:
+            data_rows.cache()
+        data_rows.count()
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(fits)) as ex:
+            futures = {
+                name: ex.submit(
+                    train_match_model, data_rows, num_trees=num_trees,
+                    beta=beta, grid_min_instances=grid_min_instances,
+                    **kw)
+                for name, kw in fits.items()}
+            models = {name: f.result() for name, f in futures.items()}
+        if cached_here:
+            data_rows.unpersist()
     else:
+        models = {name: train_match_model(
+            data_rows, num_trees=num_trees, beta=beta,
+            grid_min_instances=grid_min_instances, **kw)
+            for name, kw in fits.items()}
+    if missing_field is not None \
+            and f"no_{missing_field}" not in models:
         # No missingness model trained: route everything to "basic".
         # Keeping a missing_field here would make score_with_model_set
         # reference var_<field>_missing (AnalysisException if absent,
