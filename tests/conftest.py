@@ -23,6 +23,11 @@ os.environ.setdefault("NM_LAZY_CACHE", "1")
 @pytest.fixture(scope="session")
 def spark():
     from namematch_spark.session import get_spark
+    # local[8] + 8 shuffle partitions + AQE on is the measured sweet
+    # spot for this suite: 4 partitions is wall-time-neutral (the tests
+    # are per-JOB latency-bound, not per-task), AQE off nearly doubles
+    # test_cluster (106 s -> 179 s: runtime broadcast conversion and
+    # partition coalescing are net wins even at fixture scale)
     s = get_spark(app_name="namematch-tests", master="local[8]",
                   conf={"spark.sql.shuffle.partitions": "8"})
     s.sparkContext.setLogLevel("ERROR")

@@ -68,22 +68,25 @@ def _replica(edges, uid_of, leven_thresh):
     return {r: find(r) for r in touched}
 
 
-def test_replay_matches_reference_replica(spark):
-    import __spark_entry__ as E
+def test_replay_matches_reference_replica(spark, all_names):
     from namematch_spark.operators import blocking as B
     from namematch_spark.operators.cluster import constrained_clusters
     from namematch_spark.operators.mustlinks import must_links
     from namematch_spark.operators.pairs import expand_bs_to_record_pairs
 
-    an = E._an(spark, SF).cache()
+    # the session all_names fixture IS preprocess(person_records) at SF;
+    # pot/ml are each consumed twice (constrained_clusters + the replica
+    # collect) — cache them or the blocking DAG executes twice
+    an = all_names
     rp = expand_bs_to_record_pairs(
         B.candidate_blockstring_pairs(an), an)
     pot = rp.select(
         "dr_id", "record_id_1", "record_id_2",
         F.lit(0).alias("gt"),
-        (F.lit(1.0) - F.col("cos_dist")).alias("phat"))
+        (F.lit(1.0) - F.col("cos_dist")).alias("phat")).cache()
     ml = must_links(an).filter(
-        (F.col("drop_from_nm_1") == 0) & (F.col("drop_from_nm_2") == 0))
+        (F.col("drop_from_nm_1") == 0)
+        & (F.col("drop_from_nm_2") == 0)).cache()
 
     got = {r["record_id"]: r["cluster_id"]
            for r in constrained_clusters(
@@ -108,4 +111,5 @@ def test_replay_matches_reference_replica(spark):
     for r, c in got.items():
         if r not in want:
             assert c == r          # singleton keeps its own id
-    an.unpersist()
+    pot.unpersist()
+    ml.unpersist()
