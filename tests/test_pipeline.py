@@ -11,11 +11,10 @@ from tests.conftest import SF_SMALL
 
 
 @pytest.fixture(scope="module")
-def result(spark):
-    from namematch_spark.pipeline import PipelineConfig, run_pipeline
-    from namematch_spark.sources.records import person_records
-    return run_pipeline(person_records(spark, SF_SMALL),
-                        PipelineConfig(evaluate=True))
+def result(pipeline_result):
+    # session-scoped single pipeline run (conftest) — shared with the
+    # feature-invariant tests so the sf0.001 pipeline builds ONCE
+    return pipeline_result
 
 
 def test_f1_gate(result):

@@ -45,7 +45,15 @@ def scored_sf001(spark):
     an = preprocess(person_records(spark, SF_001)).cache()
     rp = expand_bs_to_record_pairs(
         B.candidate_blockstring_pairs(an), an).cache()
+    # X16: populate the data-rows cache EAGERLY — train_model_set fits
+    # the two match models on CONCURRENT threads, and each fit against a
+    # cold dr cache recomputes the whole sf0.01 blocking+feature lineage
+    # itself (no cross-job computation lock); measured ~2x on this
+    # fixture's setup.  rp is consumed 3x inside the feature plan (base
+    # + two metric dims), so count it first, in dependency order.
+    rp.count()
     dr = pair_features(rp, leven_thresh=1).cache()
+    dr.count()
     ms = train_model_set(dr)
     scored = score_with_model_set(ms, dr).cache()
     yield scored, ms
