@@ -43,7 +43,18 @@ def _eager(df: DataFrame) -> DataFrame:
     EAGERLY (one count job) — concurrent consumers of a cold cache each
     recompute the full lineage (no cross-job computation lock; see
     blocking._scoped_cache's measured evidence).  NM_LAZY_CACHE opts
-    out for tiny fixtures, same as the pipeline."""
+    out for tiny fixtures, same as the pipeline.
+
+    Second reason to stage ``all_names`` before blocking (r5): whole-
+    stage codegen FUSES the raw P1-P16 preprocess Project into every
+    blocking arm that consumes it; the fused method exceeds janino's
+    64 KB limit ("Code grows beyond 64 KB") and each of those stages
+    silently falls back to interpreted evaluation while ALSO
+    recomputing preprocess per arm (measured 28 s vs 12 s at sf0.001).
+    The cache scan bounds the codegen stage exactly like the
+    pipeline's checkpointed all_names stage does — the engine's real
+    execution model always stages all_names, so the contract queries
+    must too."""
     df = df.cache()
     if B.eager_cache_enabled():
         df.count()
@@ -96,7 +107,7 @@ def q_er_labels_multi(spark, sf):
     all-agree consensus over the full candidate record-pair expansion."""
     from namematch_spark.operators.pairs import (label_expr_for,
                                                  label_expr_multi)
-    an = _an_uid2(spark, sf)
+    an = _eager(_an_uid2(spark, sf))
     rp = expand_bs_to_record_pairs(
         B.candidate_blockstring_pairs(an), an, extra_attrs=["uid2"])
     return rp.select(
@@ -127,7 +138,7 @@ def q_er_lsh_candidates(spark, sf):
 
 
 def q_er_candidates(spark, sf):
-    return B.candidate_nn_pairs(_an(spark, sf)).select(
+    return B.candidate_nn_pairs(_eager(_an(spark, sf))).select(
         "nn_string_1", "nn_string_2", F.round("cos_dist", 6)
         .alias("cos_dist"))
 
@@ -137,7 +148,7 @@ def q_er_candidates_cov(spark, sf):
     (reference ``block.py:741-829, 872-904``): the blockstring
     candidate stream plus every gt pair blocking missed
     (covered_pair=0, true cosine distance)."""
-    an = _an(spark, sf)
+    an = _eager(_an(spark, sf))
     cand = B.candidate_blockstring_pairs(an)
     return B.add_uncovered_pairs(cand, must_links(an), an).select(
         "blockstring_1", "blockstring_2",
@@ -158,7 +169,7 @@ FEATURE_ORACLE_COLS = [
 
 
 def q_er_candidates_bs(spark, sf):
-    return B.candidate_blockstring_pairs(_an(spark, sf)).select(
+    return B.candidate_blockstring_pairs(_eager(_an(spark, sf))).select(
         "blockstring_1", "blockstring_2",
         F.round("cos_dist", 6).alias("cos_dist"))
 
@@ -196,7 +207,7 @@ def q_er_nameprob_features(spark, sf):
 
 
 def q_er_cc_mustlinks(spark, sf):
-    an = _an(spark, sf)
+    an = _eager(_an(spark, sf))
     ml = must_links(an)
     nodes = an.filter(F.col("drop_from_nm") == 0).select("record_id")
     return connected_components(ml, nodes)
@@ -231,7 +242,7 @@ def q_er_potential_links_det(spark, sf):
     from namematch_spark.operators.model import (
         deterministic_model_set, potential_links_model_set,
         score_with_model_set)
-    an = _an(spark, sf)
+    an = _eager(_an(spark, sf))
     rp = expand_bs_to_record_pairs(
         B.candidate_blockstring_pairs(an), an)
     dr = pair_features(rp, leven_thresh=1)
@@ -336,7 +347,7 @@ def q_er_output(spark, sf):
     # output stage (S8/G5) over the deterministic must-link clustering,
     # so the raw-value restore + cluster join are fully oracle-checkable
     from namematch_spark.operators.output import all_names_with_clusterid
-    an = _an(spark, sf)
+    an = _eager(_an(spark, sf))
     ml = must_links(an)
     nodes = an.filter(F.col("drop_from_nm") == 0).select("record_id")
     cc = connected_components(ml, nodes)
