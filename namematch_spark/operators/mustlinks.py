@@ -87,6 +87,12 @@ def must_links(all_names: DataFrame,
     """
     uid_cols = [uid_col] if isinstance(uid_col, str) else list(uid_col)
     out = _must_links_one(all_names, uid_cols[0], max_records_per_uid)
+    if len(uid_cols) == 1:
+        # a single equi-self-join with canonical ordering emits each
+        # unordered pair exactly once — a dedup here would be a full
+        # shuffle of the must-link set that removes nothing (the pair
+        # set is quadratic in per-uid cardinality at 10^12-row scale)
+        return out
     for c in uid_cols[1:]:
         out = out.unionByName(
             _must_links_one(all_names, c, max_records_per_uid))
