@@ -242,6 +242,28 @@ def blocking_scoring_job(spark, sf_dir: str,
     return n, dt
 
 
+def _host_canary() -> dict:
+    """Fixed-work single-thread CPU probe (~0.5 s on a quiet box) +
+    loadavg, recorded at bench start and end.  The shared host's
+    neighbor load has produced 2x wall-time spreads on identical legs
+    (see BENCH/BASELINE.md history); the canary makes each run
+    self-identifying so a slow leg can be attributed to the box, not
+    the engine, without re-running."""
+    import hashlib
+    t0 = time.time()
+    h = b"spark-graft-canary"
+    for _ in range(400_000):
+        h = hashlib.md5(h).digest()
+    canary_sec = round(time.time() - t0, 3)
+    try:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+    except OSError:  # pragma: no cover
+        load1 = -1.0
+    # quiet-box reference: 0.205 s / load 0.1 (2026-08-18)
+    return {"md5_400k_sec": canary_sec, "loadavg_1m": load1}
+
+
 def scaling_worker(cores: int, outfile: str) -> None:
     """Run (in a fresh process = fresh JVM) a warmup pass at sf0.001 —
     JIT + codegen compile are one-time per JVM and a production cluster
@@ -367,7 +389,9 @@ def _run_scaling_rate() -> tuple[int, float, list[float]]:
 def main() -> None:
     sf_label = SF_DIR.rstrip("/").split("sf")[-1]
     queries: dict[str, float] = {}
-    extras: dict = {}
+    extras: dict = {"host_canary": {"start": _host_canary()}}
+    log(f"[bench] host canary at start: "
+        f"{extras['host_canary']['start']}")
 
     # ---- scaling: same job, two parallelism levels, fresh JVM each.
     # The host is SHARED (neighbor load spikes produced a measured
@@ -503,6 +527,8 @@ def main() -> None:
             log(f"[bench] {name}: FAILED {str(ex)[:200]}")
     spark.stop()
 
+    extras["host_canary"]["end"] = _host_canary()
+    log(f"[bench] host canary at end: {extras['host_canary']['end']}")
     total = round(sum(t for t in queries.values() if t > 0), 3)
     result = {
         "metric": "headline_total_sec",
@@ -585,6 +611,14 @@ def _write_bench_md(result: dict) -> None:
         "(target ≥ 0.8), where `efficiency = thr_high / "
         f"({s['cores_high'] // s['cores_low']} × "
         "thr_low_per_instance)`."
+        + ("  Efficiency > 1.0 is not real super-linear scaling: it "
+           "means neighbor load on this shared box depressed the "
+           "low-leg instances beyond what the rate protocol cancels "
+           "(the concurrent low leg is more sensitive to external "
+           "memory-bandwidth pressure than the single high-leg JVM); "
+           "read it as ≥ 1.0 and consult the run-history table below "
+           "for quiet-window values."
+           if s["efficiency"] > 1.0 else "")
         + (f"  The naive solo-baseline efficiency (`thr_high / "
            f"({s['cores_high'] // s['cores_low']} × thr_solo)`) "
            f"measures **{s['efficiency_solo']:.3f}** this run (also "
@@ -699,6 +733,40 @@ def _write_bench_md(result: dict) -> None:
             "after the fix, identical pairs). Stage times are logged "
             "every bench run (`er_clusters_stages` in the JSON) so any "
             "future swing is attributable at a glance.",
+        ]
+    if "host_canary" in result:
+        hc = result["host_canary"]
+        lines += [
+            "",
+            "## Host-load canary (this run)",
+            "",
+            "Fixed-work single-thread md5 probe (seconds; quiet box "
+            "≈ 0.2 s — higher = loaded host) + 1-min loadavg, at "
+            "bench start and end:",
+            "",
+            f"- start: {hc['start']}",
+            f"- end:   {hc['end']}",
+        ]
+    # Inline the frozen-leg run history so one noisy final run can't
+    # erase the record: this file is rewritten per run, HISTORY.md is
+    # append-only — surfacing it here keeps the quiet-window numbers
+    # visible next to whatever the latest run measured.
+    if os.path.exists("BENCH/HISTORY.md"):
+        with open("BENCH/HISTORY.md") as f:
+            # table only (skip HISTORY.md's own h1 + prose preamble)
+            hist = "\n".join(ln for ln in f.read().splitlines()
+                             if ln.startswith("|"))
+        lines += [
+            "",
+            "## Run history (frozen-protocol leg, append-only)",
+            "",
+            "This shared-host VM shows ~2x wall-time spreads between "
+            "legs on identical code+input (neighbor load); per-run "
+            "numbers above must be read against this history.  The "
+            "frozen leg (local[4], copies=3, pinned plan) is "
+            "directly comparable across rounds:",
+            "",
+            hist,
         ]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
