@@ -393,6 +393,52 @@ def main() -> None:
     log(f"[bench] host canary at start: "
         f"{extras['host_canary']['start']}")
 
+    # ---- headline queries at full parallelism ------------------------
+    # These run FIRST, on whatever quiet the box has: the 22:30 r5 leg
+    # measured er_clusters at 271.2 s in-bench immediately after ~25 min
+    # of scaling-leg load vs 165.4/145.8 s isolated at identical
+    # HEAD/input/parallelism (BENCH/HISTORY.md) — running the headline
+    # after the scaling phase measured the box's post-load state, not
+    # the engine.
+    spark = make_spark(CPUS)
+    import __spark_entry__ as E
+    qs = E.queries()
+    # emb_knn_lsh (the scale path, oracle-green) is the headline ANN
+    # entry; brute-force emb_knn stays a correctness-only query
+    # doc_minhash_lsh pins the recall-maximal contract config
+    # (rows_per_band=1, candidate-heavy); _banded is the SCALE config
+    # (4 bands x 4 rows) — benching both keeps the recall/cost tradeoff
+    # visible round over round
+    headline = ["er_clusters", "doc_minhash_lsh", "doc_minhash_lsh_banded",
+                "doc_ngram_jaccard",
+                "doc_simhash", "doc_profile", "doc_dedup_exact",
+                "emb_knn_lsh", "agg_pricing_summary", "win_top_orders",
+                "join_nation_revenue", "events_hourly"]
+    for name in headline:
+        t0 = time.time()
+        try:
+            if name == "er_clusters":
+                # run the flagship through the pipeline directly so the
+                # per-stage wall times (metrics["stage_seconds"]) land
+                # in the bench output — the r4 regression (173.5 s ->
+                # 324.0 s) shipped unattributed because this path
+                # discarded them (VERDICT r4 #1)
+                n, dt, stages = er_clusters_attributed(spark, SF_DIR)
+                extras["er_clusters_stages"] = stages
+                log(f"[bench] er_clusters stages: {stages}")
+            else:
+                n = qs[name](spark, SF_DIR).count()
+                dt = time.time() - t0
+            queries[name] = round(dt, 3)
+            log(f"[bench] {name}: {n} rows in {dt:.1f}s")
+        except Exception as ex:  # pragma: no cover
+            queries[name] = -1.0
+            log(f"[bench] {name}: FAILED {str(ex)[:200]}")
+    spark.stop()
+    extras["host_canary"]["mid"] = _host_canary()
+    log(f"[bench] host canary after headline: "
+        f"{extras['host_canary']['mid']}")
+
     # ---- scaling: same job, two parallelism levels, fresh JVM each.
     # The host is SHARED (neighbor load spikes produced a measured
     # 609 s vs 337 s spread on identical 8-core runs): each level is
@@ -466,7 +512,6 @@ def main() -> None:
         thr_solo = n_s / t_s
         log(f"[bench]   solo {n_s} pairs in {t_s:.1f}s -> "
             f"{thr_solo:,.0f} pairs/s")
-    spark = make_spark(CPUS)
     factor = SCALE_HIGH / SCALE_LOW
     efficiency = (thr_high / thr_low) / factor
     queries["blocking_scoring"] = round(t_high, 3)
@@ -490,42 +535,6 @@ def main() -> None:
             "efficiency_solo": round((thr_high / thr_solo) / factor, 3)}
            if thr_solo else {}),
     }
-
-    # ---- headline queries at full parallelism ------------------------
-    import __spark_entry__ as E
-    qs = E.queries()
-    # emb_knn_lsh (the scale path, oracle-green) is the headline ANN
-    # entry; brute-force emb_knn stays a correctness-only query
-    # doc_minhash_lsh pins the recall-maximal contract config
-    # (rows_per_band=1, candidate-heavy); _banded is the SCALE config
-    # (4 bands x 4 rows) — benching both keeps the recall/cost tradeoff
-    # visible round over round
-    headline = ["er_clusters", "doc_minhash_lsh", "doc_minhash_lsh_banded",
-                "doc_ngram_jaccard",
-                "doc_simhash", "doc_profile", "doc_dedup_exact",
-                "emb_knn_lsh", "agg_pricing_summary", "win_top_orders",
-                "join_nation_revenue", "events_hourly"]
-    for name in headline:
-        t0 = time.time()
-        try:
-            if name == "er_clusters":
-                # run the flagship through the pipeline directly so the
-                # per-stage wall times (metrics["stage_seconds"]) land
-                # in the bench output — the r4 regression (173.5 s ->
-                # 324.0 s) shipped unattributed because this path
-                # discarded them (VERDICT r4 #1)
-                n, dt, stages = er_clusters_attributed(spark, SF_DIR)
-                extras["er_clusters_stages"] = stages
-                log(f"[bench] er_clusters stages: {stages}")
-            else:
-                n = qs[name](spark, SF_DIR).count()
-                dt = time.time() - t0
-            queries[name] = round(dt, 3)
-            log(f"[bench] {name}: {n} rows in {dt:.1f}s")
-        except Exception as ex:  # pragma: no cover
-            queries[name] = -1.0
-            log(f"[bench] {name}: FAILED {str(ex)[:200]}")
-    spark.stop()
 
     extras["host_canary"]["end"] = _host_canary()
     log(f"[bench] host canary at end: {extras['host_canary']['end']}")
@@ -566,6 +575,10 @@ def _append_history(result: dict) -> None:
                 "er_clusters s | headline total s |\n"
                 "|---|---|---|---|---|---|---|---|---|\n")
     s = result["scaling"]
+    if str(result["sf"]) != "0.1":
+        # the frozen protocol is sf0.1 — a smoke/dev run at another SF
+        # must not pollute the cross-round comparability table
+        return
     import datetime
     # a failed headline query records -1.0 in queries; the frozen
     # history table must show '—', not a bogus negative timing
