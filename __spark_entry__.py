@@ -89,6 +89,16 @@ def q_er_mustlinks(spark, sf):
     return must_links(_an(spark, sf))
 
 
+def q_er_blockstring_nn(spark, sf):
+    """P16 — recover the nn_string (name part) from a blockstring
+    (reference ``utils/utils.py:267-290``), oracle-checked round-trip
+    over every preprocessed record."""
+    from namematch_spark.operators.preprocess import parse_blockstring_nn
+    return _an(spark, sf).select(
+        "record_id", "blockstring",
+        parse_blockstring_nn(F.col("blockstring")).alias("nn_string"))
+
+
 def _an_uid2(spark: SparkSession, sf: str) -> DataFrame:
     from namematch_spark.sources.records import person_records_uid2
     return preprocess(person_records_uid2(spark, sf))
@@ -590,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ER pipeline (SURVEY.md §2)
         "er_preprocess": q_er_preprocess,
+        "er_blockstring_nn": q_er_blockstring_nn,
         "er_mustlinks": q_er_mustlinks,
         "er_mustlinks_multi": q_er_mustlinks_multi,
         "er_labels_multi": q_er_labels_multi,
@@ -641,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "er_preprocess": oracles.er_preprocess(),
+        "er_blockstring_nn": oracles.er_blockstring_nn(),
         "er_mustlinks": oracles.er_mustlinks(),
         "er_mustlinks_multi": oracles.er_mustlinks_multi(),
         "er_labels_multi": oracles.er_labels_multi(),

@@ -426,6 +426,19 @@ FROM an
 """
 
 
+def er_blockstring_nn() -> str:
+    """P16 round-trip (``utils/utils.py:267-290``): first two ::-parts
+    of the blockstring are the nn_string."""
+    return f"""
+WITH person AS ({PERSON}),
+{AN.strip()}
+SELECT record_id, blockstring,
+       split_part(blockstring, '::', 1) || '::' ||
+       split_part(blockstring, '::', 2) AS nn_string
+FROM an
+"""
+
+
 def er_mustlinks() -> str:
     return f"""
 WITH person AS ({PERSON}),
