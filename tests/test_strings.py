@@ -59,3 +59,52 @@ def test_levenshtein_edges():
     assert levenshtein("", "") == 0
     assert levenshtein("", "ABC") == 3
     assert levenshtein("KITTEN", "SITTING") == 3
+
+
+# ---- A8 edit-op counting (reference ``counter.py:5-19``) -------------
+
+def _apply_editops(a: str, b: str, ops) -> str:
+    """python-Levenshtein editops semantics: positions refer to the
+    ORIGINAL strings; replay with a running offset."""
+    res = list(a)
+    off = 0
+    for op, i, j in ops:
+        if op == "replace":
+            res[i + off] = b[j]
+        elif op == "insert":
+            res.insert(i + off, b[j])
+            off += 1
+        else:  # delete
+            del res[i + off]
+            off -= 1
+    return "".join(res)
+
+
+def test_editops_known():
+    from namematch_spark.operators.nameprob import editops
+    assert editops("abc", "abc") == []
+    assert editops("abc", "abd") == [("replace", 2, 2)]
+    assert editops("ab", "abc") == [("insert", 2, 2)]
+    assert editops("abc", "ab") == [("delete", 2, 2)]
+    # transposition costs 2 under plain Levenshtein (no Damerau)
+    assert len(editops("jhon", "john")) == 2
+
+
+@given(a=NAMES, b=NAMES)
+@settings(max_examples=300, deadline=None)
+def test_editops_reconstruct_and_minimal(a, b):
+    """The op list must (1) replay a into b and (2) be MINIMAL —
+    length equal to an independent levenshtein (DuckDB's)."""
+    from namematch_spark.operators.nameprob import editops
+    ops = editops(a, b)
+    assert _apply_editops(a, b, ops) == b
+    dist = _CON.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+    assert len(ops) == dist
+
+
+def test_edit_op_probs_hand_computed():
+    from namematch_spark.operators.nameprob import edit_op_probs
+    # pairs: (ab,ac) -> replace@1; (ab,ab) -> none; (ac,ab) -> replace@1
+    counts, total = edit_op_probs(["ab", "ac", "ab"])
+    assert counts == {("replace", 1, 1): 2}
+    assert total == 2
