@@ -255,13 +255,28 @@ def _host_canary() -> dict:
     for _ in range(400_000):
         h = hashlib.md5(h).digest()
     canary_sec = round(time.time() - t0, 3)
+    # memory-bandwidth probe: the md5 loop is L1-resident and stayed
+    # quiet (0.17-0.22 s) through the 00:12/00:51 legs whose multi-core
+    # stages degraded 4x — the noise lives at the shared memory
+    # controller, which only a streaming access pattern can see.
+    # quiet-box reference: 0.10-0.15 s for the 512 MB sum.
+    try:
+        import numpy as np
+        a = np.zeros(64 * 1024 * 1024, dtype=np.float64)
+        t0 = time.time()
+        a.sum()
+        mem_sec = round(time.time() - t0, 3)
+        del a
+    except Exception:  # pragma: no cover
+        mem_sec = -1.0
     try:
         with open("/proc/loadavg") as f:
             load1 = float(f.read().split()[0])
     except OSError:  # pragma: no cover
         load1 = -1.0
-    # quiet-box reference: 0.205 s / load 0.1 (2026-08-18)
-    return {"md5_400k_sec": canary_sec, "loadavg_1m": load1}
+    # quiet-box reference: md5 0.205 s / load 0.1 (2026-08-18)
+    return {"md5_400k_sec": canary_sec, "memstream_512m_sec": mem_sec,
+            "loadavg_1m": load1}
 
 
 def scaling_worker(cores: int, outfile: str) -> None:
