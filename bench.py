@@ -279,6 +279,21 @@ def _host_canary() -> dict:
             "loadavg_1m": load1}
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat line.
+    Hypervisor steal is the one signal that directly evidences
+    neighbor-VM contention; sampled around each headline query so a
+    slow reading is attributable without re-running."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except OSError:  # pragma: no cover
+        return 0, 0
+
+
 def scaling_worker(cores: int, outfile: str) -> None:
     """Run (in a fresh process = fresh JVM) a warmup pass at sf0.001 —
     JIT + codegen compile are one-time per JVM and a production cluster
@@ -429,8 +444,10 @@ def main() -> None:
                 "doc_simhash", "doc_profile", "doc_dedup_exact",
                 "emb_knn_lsh", "agg_pricing_summary", "win_top_orders",
                 "join_nation_revenue", "events_hourly"]
+    steal_pct: dict[str, float] = {}
     for name in headline:
         t0 = time.time()
+        st0 = _cpu_ticks()
         try:
             if name == "er_clusters":
                 # run the flagship through the pipeline directly so the
@@ -445,11 +462,17 @@ def main() -> None:
                 n = qs[name](spark, SF_DIR).count()
                 dt = time.time() - t0
             queries[name] = round(dt, 3)
-            log(f"[bench] {name}: {n} rows in {dt:.1f}s")
+            st1 = _cpu_ticks()
+            if st1[1] > st0[1]:
+                steal_pct[name] = round(
+                    100.0 * (st1[0] - st0[0]) / (st1[1] - st0[1]), 2)
+            log(f"[bench] {name}: {n} rows in {dt:.1f}s "
+                f"(steal {steal_pct.get(name, 0.0)}%)")
         except Exception as ex:  # pragma: no cover
             queries[name] = -1.0
             log(f"[bench] {name}: FAILED {str(ex)[:200]}")
     spark.stop()
+    extras["steal_pct"] = steal_pct
     extras["host_canary"]["mid"] = _host_canary()
     log(f"[bench] host canary after headline: "
         f"{extras['host_canary']['mid']}")
