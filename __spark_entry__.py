@@ -353,6 +353,25 @@ def q_er_incremental_block(spark, sf):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def q_er_phat_hist(spark, sf):
+    """A10 value check: the report's phat-histogram binning
+    (``report.phat_histogram_df``, reference
+    ``model_evaluation_functions.py:279-287``) over the deterministic
+    potential-links twin — bucket boundaries are bit-reproducible
+    because the det oracle already hash-matches the phat doubles."""
+    from namematch_spark.operators.report import phat_histogram_df
+    return phat_histogram_df(q_er_potential_links_det(spark, sf))
+
+
+def q_er_cluster_sizes(spark, sf):
+    """A9 value check: the report's cluster-size frequency table
+    (``report.cluster_size_distribution_df``, reference report
+    notebook's cluster-size stats) over the must-link CC clustering."""
+    from namematch_spark.operators.report import (
+        cluster_size_distribution_df)
+    return cluster_size_distribution_df(q_er_cc_mustlinks(spark, sf))
+
+
 def q_er_output(spark, sf):
     # output stage (S8/G5) over the deterministic must-link clustering,
     # so the raw-value restore + cluster join are fully oracle-checkable
@@ -622,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_incremental": q_er_incremental,
         "er_incremental_block": q_er_incremental_block,
         "er_output": q_er_output,
+        "er_phat_hist": q_er_phat_hist,
+        "er_cluster_sizes": q_er_cluster_sizes,
         # config-driven schema layer
         "er_config_preprocess": q_er_config_preprocess,
         "er_blockstats_ft": q_er_blockstats_ft,
@@ -677,6 +698,8 @@ def oracle_sql() -> dict[str, str]:
         "er_incremental": oracles.er_incremental(),
         "er_incremental_block": oracles.er_incremental_block(),
         "er_output": oracles.er_output(),
+        "er_phat_hist": oracles.er_phat_hist(),
+        "er_cluster_sizes": oracles.er_cluster_sizes(),
         "er_config_preprocess": oracles.er_config_preprocess(),
         "er_blockstats_ft": oracles.er_blockstats_ft(),
         "er_config_pair_features": oracles.er_config_pair_features(),

@@ -16,25 +16,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def phat_histogram_df(scored: DataFrame, bins: int = 10) -> DataFrame:
+    """A10 — phat distribution in 1/bins buckets as a DataFrame
+    (``model_evaluation_functions.py:279-287``): the aggregation the
+    report collects, exposed so the contract can value-check the
+    binning itself (``er_phat_hist``)."""
+    return (
+        scored
+        .withColumn("bucket", F.floor(F.col("phat") * bins) / bins)
+        .groupBy("bucket").agg(F.count("*").alias("n")))
+
+
 def phat_histogram(scored: DataFrame, bins: int = 10) -> list[dict]:
     """A10 — phat distribution in 1/bins buckets
     (``model_evaluation_functions.py:279-287``)."""
-    rows = (
-        scored
-        .withColumn("__b", F.floor(F.col("phat") * bins) / bins)
-        .groupBy("__b").agg(F.count("*").alias("n"))
-        .orderBy("__b").collect())
+    rows = phat_histogram_df(scored, bins).orderBy("bucket").collect()
     total = sum(r["n"] for r in rows) or 1
-    return [{"bucket": float(r["__b"]), "n": int(r["n"]),
+    return [{"bucket": float(r["bucket"]), "n": int(r["n"]),
              "share": round(r["n"] / total, 4)} for r in rows]
 
 
+def cluster_size_distribution_df(clusters: DataFrame) -> DataFrame:
+    """A9/A10 — cluster-size frequency table as a DataFrame (the
+    report's two-level count aggregation, oracle-checked via
+    ``er_cluster_sizes``)."""
+    return (
+        clusters.groupBy("cluster_id").agg(F.count("*").alias("size"))
+        .groupBy("size").agg(F.count("*").alias("n_clusters")))
+
+
 def cluster_size_distribution(clusters: DataFrame) -> list[dict]:
-    rows = (
-        clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
-        .groupBy("sz").agg(F.count("*").alias("n_clusters"))
-        .orderBy("sz").collect())
-    return [{"size": int(r["sz"]), "n_clusters": int(r["n_clusters"])}
+    rows = cluster_size_distribution_df(clusters).orderBy("size").collect()
+    return [{"size": int(r["size"]), "n_clusters": int(r["n_clusters"])}
             for r in rows]
 
 

@@ -961,6 +961,30 @@ LEFT JOIN cc ON cc.record_id = an.record_id
 """
 
 
+def er_phat_hist() -> str:
+    """A10 — the report's phat histogram binning
+    (``model_evaluation_functions.py:279-287``): 0.1-wide buckets over
+    the deterministic potential-links twin.  Bucket edges are safe to
+    compare because the det twin's phat doubles already hash-match."""
+    return f"""
+WITH pl AS ({er_potential_links_det()})
+SELECT floor(phat * 10) / 10 AS bucket, count(*) AS n
+FROM pl
+GROUP BY 1
+"""
+
+
+def er_cluster_sizes() -> str:
+    """A9 — the report's cluster-size frequency table (two-level count
+    aggregation) over the must-link connected components."""
+    return f"""
+WITH cl AS ({er_cc_mustlinks()})
+SELECT size, count(*) AS n_clusters
+FROM (SELECT cluster_id, count(*) AS size FROM cl GROUP BY 1)
+GROUP BY 1
+"""
+
+
 def er_incremental_block() -> str:
     """Incremental blocking parity (reference ``block.py:467-532``):
     the index-driven incremental candidate set must equal the full
