@@ -263,6 +263,52 @@ def q_er_potential_links_det(spark, sf):
         "phat", "gt")
 
 
+def q_er_flipped0_det(spark, sf):
+    """M6 flipped0 set (reference ``fit_model.py:724-760`` →
+    ``flipped0_potential_links.csv``): labeled-0 pairs scored above
+    their model's threshold — the potential-links machinery composed
+    with the CLI artifact's label filter, value-checked end-to-end via
+    the ExprScorer twin.  Threshold 0.03 — below the det scorer's
+    labeled-0 tail so the checked set is non-empty."""
+    from namematch_spark.operators.model import (
+        deterministic_model_set, potential_links_model_set,
+        score_with_model_set)
+    an = _eager(_an(spark, sf))
+    rp = expand_bs_to_record_pairs(
+        B.candidate_blockstring_pairs(an), an)
+    dr = pair_features(rp, leven_thresh=1)
+    ms = deterministic_model_set(basic_threshold=0.03)
+    return potential_links_model_set(
+        score_with_model_set(ms, dr), ms) \
+        .filter(F.col("label") == "0").select(
+            "dr_id", "record_id_1", "record_id_2", "model_to_use",
+            "label", "phat")
+
+
+def q_er_selection_weight_det(spark, sf):
+    """M3 selection-bias weight (reference ``predict.py:229-233`` +
+    ``fit_model.py:424-426``): ``apply_selection_weight`` with
+    ExprScorer stand-ins for both the match scorer (basic terms) and
+    the selection scorer (no-dob terms), ``prob_match_train=0.05`` —
+    the weight arithmetic and the double-scoring join are fully
+    value-checked; the RF-backed path keeps its pytest."""
+    from namematch_spark.operators.model import (
+        DET_BASIC_TERMS, DET_NODOB_TERMS, ExprScorer, MatchModel,
+        apply_selection_weight, score_pairs)
+    an = _eager(_an(spark, sf))
+    rp = expand_bs_to_record_pairs(
+        B.candidate_blockstring_pairs(an), an)
+    dr = pair_features(rp, leven_thresh=1)
+    scored = score_pairs(ExprScorer(DET_BASIC_TERMS), dr)
+    sel = MatchModel(
+        model=ExprScorer(DET_NODOB_TERMS), threshold=0.5,
+        feature_cols=[c for c, _, _ in DET_NODOB_TERMS],
+        eval_metrics={})
+    return apply_selection_weight(scored, sel, 0.05).select(
+        "dr_id", "record_id_1", "record_id_2", "phat", "p_selected",
+        "selection_weight")
+
+
 def _clusters_det(an):
     """Deterministic-score constrained clustering over an all-names
     table (shared by the person-records and web-pages variants)."""
@@ -635,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cc_mustlinks": q_er_cc_mustlinks,
         "er_potential_links": q_er_potential_links,
         "er_potential_links_det": q_er_potential_links_det,
+        "er_flipped0_det": q_er_flipped0_det,
+        "er_selection_weight_det": q_er_selection_weight_det,
         "er_clusters": q_er_clusters,
         "er_clusters_det": q_er_clusters_det,
         "wp_clusters_det": q_wp_clusters_det,
@@ -691,6 +739,8 @@ def oracle_sql() -> dict[str, str]:
         # their _det twins value-check the same machinery with
         # deterministic scores
         "er_potential_links_det": oracles.er_potential_links_det(),
+        "er_flipped0_det": oracles.er_flipped0_det(),
+        "er_selection_weight_det": oracles.er_selection_weight_det(),
         "er_clusters_det": oracles.er_clusters_det(),
         # same oracle: extraction round-trips byte-identically, so the
         # web-page flow must produce the very same clusters

@@ -385,21 +385,21 @@ DET_NODOB_TERMS = [t for t in DET_BASIC_TERMS
                    if not t[0].startswith("var_dob_")]
 
 
-def deterministic_model_set(missing_field: str | None = "dob"
-                            ) -> ModelSet:
+def deterministic_model_set(missing_field: str | None = "dob",
+                            basic_threshold: float = 0.5) -> ModelSet:
     """A :class:`ModelSet` backed by :class:`ExprScorer` closed forms:
-    ``basic`` (threshold 0.5) and ``no_<field>`` (dob features
-    excluded, threshold boosted +0.2 like the trained missingness
-    model).  Exercises the exact routing/threshold/union machinery of
-    the RF path with SQL-reproducible scores."""
+    ``basic`` (threshold ``basic_threshold``) and ``no_<field>`` (dob
+    features excluded, threshold boosted +0.2 like the trained
+    missingness model).  Exercises the exact routing/threshold/union
+    machinery of the RF path with SQL-reproducible scores."""
     models = {"basic": MatchModel(
-        model=ExprScorer(DET_BASIC_TERMS), threshold=0.5,
+        model=ExprScorer(DET_BASIC_TERMS), threshold=basic_threshold,
         feature_cols=[c for c, _, _ in DET_BASIC_TERMS],
         eval_metrics={})}
     if missing_field is not None:
         models[f"no_{missing_field}"] = MatchModel(
             model=ExprScorer(DET_NODOB_TERMS),
-            threshold=0.5 + MISSINGNESS_THRESHOLD_BOOST,
+            threshold=basic_threshold + MISSINGNESS_THRESHOLD_BOOST,
             feature_cols=[c for c, _, _ in DET_NODOB_TERMS],
             eval_metrics={})
     return ModelSet(models=models, missing_field=missing_field)

@@ -754,14 +754,11 @@ rp AS (
 """
 
 
-def er_potential_links_det() -> str:
-    """M4/M6 machinery with the deterministic :class:`ExprScorer`
-    stand-in (``operators/model.py``): model_to_use routing, per-model
-    linear scores, per-model thresholds, gt override — the exact SQL
-    mirror of ``score_with_model_set`` + ``potential_links_model_set``
-    minus the RF (the only non-expressible piece).  Reference flow:
-    ``predict.py:88-141`` scoring → ``predict.py:109-134`` threshold
-    filter."""
+def _det_scored_with() -> str:
+    """Shared WITH-prefix of the deterministic :class:`ExprScorer`
+    twins: candidate blockstring pairs → record pairs → pair features →
+    per-model routing + linear scores.  ``scored`` keeps ``label`` so
+    the flipped0 twin can filter on it."""
     from namematch_spark.operators.model import deterministic_model_set
     ms = deterministic_model_set()
     basic = ms.models["basic"]
@@ -791,19 +788,79 @@ feat AS (
   FROM rp
 ),
 scored AS (
-  SELECT dr_id, record_id_1, record_id_2,
+  SELECT dr_id, record_id_1, record_id_2, label,
          CASE WHEN var_dob_missing = 1.0 THEN 'no_dob'
               ELSE 'basic' END AS model_to_use,
          CASE WHEN var_dob_missing = 1.0 THEN {nodob.model.sql()}
               ELSE {basic.model.sql()} END AS phat,
          CASE WHEN label = '1' THEN 1 ELSE 0 END AS gt
   FROM feat
-)
+)"""
+
+
+def _det_threshold_case(basic_threshold: float = 0.5) -> str:
+    """Per-model threshold CASE of ``potential_links_model_set``."""
+    from namematch_spark.operators.model import deterministic_model_set
+    ms = deterministic_model_set(basic_threshold=basic_threshold)
+    return (f"CASE WHEN model_to_use = 'no_dob' "
+            f"THEN {ms.models['no_dob'].threshold!r} "
+            f"ELSE {ms.models['basic'].threshold!r} END")
+
+
+def er_potential_links_det() -> str:
+    """M4/M6 machinery with the deterministic :class:`ExprScorer`
+    stand-in (``operators/model.py``): model_to_use routing, per-model
+    linear scores, per-model thresholds, gt override — the exact SQL
+    mirror of ``score_with_model_set`` + ``potential_links_model_set``
+    minus the RF (the only non-expressible piece).  Reference flow:
+    ``predict.py:88-141`` scoring → ``predict.py:109-134`` threshold
+    filter."""
+    return f"""{_det_scored_with()}
 SELECT dr_id, record_id_1, record_id_2, model_to_use, phat, gt
 FROM scored
-WHERE phat >= CASE WHEN model_to_use = 'no_dob'
-                   THEN {nodob.threshold!r} ELSE {basic.threshold!r} END
+WHERE phat >= {_det_threshold_case()}
    OR gt = 1
+"""
+
+
+def er_flipped0_det() -> str:
+    """M6 flipped0 set (reference ``fit_model.py:724-760`` →
+    ``flipped0_potential_links.csv``): labeled-0 pairs the model scores
+    ABOVE their model's threshold — the potential-links filter composed
+    with ``label = '0'``, exactly the CLI artifact's definition
+    (``cli.py`` flipped0_potential_edges.csv).  Threshold 0.03 — below
+    the det scorer's labeled-0 tail (phat 0.05 at sf0.01) so the
+    checked set is non-empty; the machinery is identical at any
+    threshold."""
+    return f"""{_det_scored_with()}
+SELECT dr_id, record_id_1, record_id_2, model_to_use, label, phat
+FROM scored
+WHERE (phat >= {_det_threshold_case(0.03)} OR gt = 1)
+  AND label = '0'
+"""
+
+
+def er_selection_weight_det() -> str:
+    """M3 selection-bias weight (reference ``predict.py:229-233`` +
+    ``fit_model.py:424-426``): ``selection_weight =
+    (prob_match_train + 1) / (p_selected + 1)`` with the ExprScorer
+    stand-ins for both the match scorer (basic terms) and the selection
+    scorer (no-dob terms).  IEEE double division over already
+    bit-matching 6-dp inputs, so the raw doubles compare exactly."""
+    from namematch_spark.operators.model import deterministic_model_set
+    ms = deterministic_model_set()
+    basic = ms.models["basic"]
+    nodob = ms.models["no_dob"]
+    return f"""{_det_scored_with()},
+selbase AS (
+  SELECT dr_id, record_id_1, record_id_2,
+         {basic.model.sql()} AS phat,
+         {nodob.model.sql()} AS p_selected
+  FROM feat
+)
+SELECT dr_id, record_id_1, record_id_2, phat, p_selected,
+       (0.05 + 1) / (p_selected + 1) AS selection_weight
+FROM selbase
 """
 
 
