@@ -24,7 +24,7 @@ from namematch_spark.operators.multimodal import (docs_as_media,
 from namematch_spark.operators.mustlinks import must_links
 from namematch_spark.operators.pairs import (expand_bs_to_record_pairs,
                                              pair_features)
-from namematch_spark.operators.preprocess import preprocess
+from namematch_spark.operators.preprocess import preprocess, spread_input
 from namematch_spark.operators.textstats import text_profile
 from namematch_spark.plans import oracles
 from namematch_spark.sources.records import person_records
@@ -35,7 +35,9 @@ from namematch_spark.sources.records import person_records
 # ---------------------------------------------------------------------------
 
 def _an(spark: SparkSession, sf: str) -> DataFrame:
-    return preprocess(person_records(spark, sf))
+    # spread_input: the single-file scan would otherwise run the whole
+    # narrow regex-heavy preprocess chain on ONE task (guide §2.5)
+    return preprocess(spread_input(person_records(spark, sf)))
 
 
 def _eager(df: DataFrame) -> DataFrame:
@@ -101,7 +103,7 @@ def q_er_blockstring_nn(spark, sf):
 
 def _an_uid2(spark: SparkSession, sf: str) -> DataFrame:
     from namematch_spark.sources.records import person_records_uid2
-    return preprocess(person_records_uid2(spark, sf))
+    return preprocess(spread_input(person_records_uid2(spark, sf)))
 
 
 def q_er_mustlinks_multi(spark, sf):

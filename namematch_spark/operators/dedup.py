@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from namematch_spark.operators.blocking import (MERSENNE_P, _lcg_pairs,
+                                                _scoped_cache,
                                                 portable_hash64)
 
 # ---------------------------------------------------------------------------
@@ -82,12 +83,29 @@ def minhash_lsh_dedup(docs: DataFrame, threshold: float = 0.7,
         ).alias("__hs"),
     ).filter(F.size("__hs") > 0)
 
-    sig_cols = []
-    for a, b in _lcg_pairs(num_hashes):
-        sig_cols.append(F.array_min(F.transform(
-            F.col("__hs"),
-            lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P)))))
-    sig = base.select("doc_id", "__hs", F.array(*sig_cols).alias("__sig"))
+    # ONE aggregate pass over the hashed shingles: all num_hashes
+    # running minima update per shingle (zip_with against the constant
+    # (a,b) array).  The unrolled array_min(transform(__hs, …))-per-
+    # hash form let CollapseProject inline the shingle-hash array into
+    # every signature column, recomputing the word-shingle md5 chain
+    # num_hashes times per document (same defect as
+    # blocking.minhash_signature — see OPTIMIZATION_r06.md).  __hs is
+    # filtered non-empty above, so the MERSENNE_P init never survives
+    # the fold and the output is bit-identical.
+    ab = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                   for a, b in _lcg_pairs(num_hashes)])
+    init = F.array(*[F.lit(MERSENNE_P).cast("bigint")
+                     for _ in range(num_hashes)])
+    sig_expr = F.aggregate(
+        F.col("__hs"), init,
+        lambda acc, h: F.zip_with(
+            acc, ab,
+            lambda m, p: F.least(m, F.pmod(p["a"] * h + p["b"],
+                                           F.lit(MERSENNE_P)))))
+    # sig feeds THREE consumers (band rows + the two Jaccard-verify
+    # joins) — cache it or the shingle+minhash chain runs three times
+    sig = _scoped_cache(
+        base.select("doc_id", "__hs", sig_expr.alias("__sig")))
 
     bands = num_hashes // rows_per_band
     band_rows = sig.select(
@@ -146,14 +164,18 @@ def ngram_jaccard_dedup(docs: DataFrame, threshold: float = 0.5,
 
     Output: (doc_id_1, doc_id_2, jaccard) with doc_id_1 < doc_id_2.
     """
-    sh = docs.select(
+    # sh feeds three consumers (per-doc sizes, postings, the pruned
+    # index) and sh_pruned both sides of the self-join — cache each or
+    # the shingle explode / anti-join runs once per consumer
+    sh = _scoped_cache(docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("sh"))
+        F.explode(word_shingles(text_col, shingle_n)).alias("sh")))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     postings = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    sh_pruned = (sh.join(postings.filter(F.col("df") > max_postings),
-                         "sh", "left_anti"))
+    sh_pruned = _scoped_cache(
+        sh.join(postings.filter(F.col("df") > max_postings),
+                "sh", "left_anti"))
 
     l, r = sh_pruned.alias("l"), sh_pruned.alias("r")
     shared = (
@@ -236,7 +258,9 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 3,
     """
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
-    fp = simhash_fingerprints(docs, text_col, id_col, bits)
+    # both sides of the block-key self-join read the fingerprint
+    # aggregation — cache it or the explode+groupBy runs twice
+    fp = _scoped_cache(simhash_fingerprints(docs, text_col, id_col, bits))
     blocks = fp.select(
         "doc_id", "fp",
         F.explode(F.array(*[

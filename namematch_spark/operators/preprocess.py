@@ -112,6 +112,31 @@ DEFAULT_DROP_RULES = [
 ]
 
 
+def spread_input(records: DataFrame) -> DataFrame:
+    """Parallelism valve for under-partitioned inputs (guide §2.5
+    "input skew" / §6): the bench inputs are single small parquet files,
+    so the scan is ONE task and every narrow op before the first
+    exchange — including this module's regex-heavy cleaning — runs
+    serially regardless of cores (measured 8.3 s of the sf0.1
+    ``all_names`` stage on one task).  A cheap row shuffle BEFORE the
+    derivation spreads it across the session's shuffle partitions.
+
+    Scale-adaptive, not a constant: inputs that already scan wide
+    (a real 100 TB table) pass through untouched — an unconditional
+    ``repartition`` there would add a full shuffle of the raw input
+    for nothing.
+    """
+    spark = records.sparkSession
+    try:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n = records.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - e.g. streaming input
+        return records
+    if n * 2 <= target:
+        return records.repartition(target)
+    return records
+
+
 def preprocess(records: DataFrame,
                drop_rules: list[dict[str, str]] | None = None,
                gender_options: tuple[str, ...] = ("M", "F"),

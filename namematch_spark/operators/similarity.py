@@ -14,7 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from namematch_spark.operators.blocking import MERSENNE_P, _lcg_pairs
+from namematch_spark.operators.blocking import (MERSENNE_P, _lcg_pairs,
+                                                _scoped_cache)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -154,12 +155,22 @@ def lsh_knn(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
     region and its pairs are caught by the other tables.
     """
     bkts = _table_buckets(F.col(vec_col), num_planes, num_tables, dim)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.posexplode(bkts).alias("__t", "__bkt"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode(bkts).alias("__t", "__bkt"))
+    # The bucket signature is tables x planes dot products per vector —
+    # the expensive narrow compute of this operator — and the bucketed
+    # frames feed several consumers (size agg, cold/hot routing, the
+    # anti/semi hot-key splits): cache them, and when queries IS the
+    # corpus (self-kNN, the contract configuration) derive both sides
+    # from ONE cached frame instead of computing the signatures twice.
+    cb = _scoped_cache(corpus.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(bkts).alias("__t", "__bkt")))
+    c = cb.select(F.col("__id").alias("neighbor_id"), "__t", "__bkt")
+    if queries is corpus:
+        q = cb.select(F.col("__id").alias("query_id"), "__t", "__bkt")
+    else:
+        q = _scoped_cache(queries.select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(bkts).alias("__t", "__bkt")))
     # corpus-side fan-in guard: count once, route by size
     sizes = c.groupBy("__t", "__bkt").agg(F.count("*").alias("__bn"))
     sizes = _report_dropped(sizes, max_bucket, metrics, "lsh_knn")
@@ -234,8 +245,11 @@ def cosine_near_dup(vectors: DataFrame, threshold: float = 0.95,
         if dim is None:
             raise ValueError("dim is required on the LSH path")
         bkts = _table_buckets(F.col(vec_col), num_planes, num_tables, dim)
-        keyed = vectors.select(F.col(id_col).alias("__id"),
-                               F.posexplode(bkts).alias("__t", "__bkt"))
+        # cached: the signature compute feeds the size agg plus the
+        # cold/hot self-join sides (4 reads) — see lsh_knn
+        keyed = _scoped_cache(
+            vectors.select(F.col(id_col).alias("__id"),
+                           F.posexplode(bkts).alias("__t", "__bkt")))
         sizes = keyed.groupBy("__t", "__bkt").agg(
             F.count("*").alias("__bn"))
         sizes = _report_dropped(sizes, max_bucket, metrics,

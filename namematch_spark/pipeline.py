@@ -27,7 +27,7 @@ from namematch_spark.operators.pairs import FEATURE_COLS
 from namematch_spark.operators.mustlinks import must_links
 from namematch_spark.operators.pairs import (expand_bs_to_record_pairs,
                                              pair_features)
-from namematch_spark.operators.preprocess import preprocess
+from namematch_spark.operators.preprocess import preprocess, spread_input
 
 
 @dataclass
@@ -200,7 +200,10 @@ def run_pipeline(records: DataFrame,
 
     an = stage("all_names",
                (lambda: all_names) if all_names is not None
-               else (lambda: preprocess(records)), [])
+               # spread_input: the raw scan of a small file is ONE task
+               # and the whole narrow preprocess chain would run on it
+               # serially (guide §2.5); no-op for already-wide inputs
+               else (lambda: preprocess(spread_input(records))), [])
     if stop_after == "all_names":
         return PipelineResult(all_names=an)
     ml = stage("must_links", lambda: must_links(an, uid_col=cfg.uid_cols),

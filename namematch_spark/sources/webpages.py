@@ -38,7 +38,11 @@ _HTML_TEMPLATE = (
 def synth_web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One page per person record; html built with native expressions
     (format_string) so synthesis itself is distributed and seedless."""
-    recs = person_records(spark, sf_dir)
+    from namematch_spark.operators.preprocess import spread_input
+    # spread: page synthesis AND the downstream Arrow-UDF extraction
+    # inherit the scan's partitioning — one small input file would run
+    # both on a single task (guide §2.5)
+    recs = spread_input(person_records(spark, sf_dir))
     html_str = F.format_string(
         _HTML_TEMPLATE.replace("{title}", "%s").replace("{first}", "%s")
         .replace("{last}", "%s").replace("{dob}", "%s")
