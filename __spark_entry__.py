@@ -41,26 +41,27 @@ def _an(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _eager(df: DataFrame) -> DataFrame:
-    """X16 cache policy for multi-consumer subtrees: populate the cache
-    EAGERLY (one count job) — concurrent consumers of a cold cache each
-    recompute the full lineage (no cross-job computation lock; see
+    """X16 staging policy for multi-consumer subtrees: materialize
+    EAGERLY — concurrent consumers of a cold cache each recompute the
+    full lineage (no cross-job computation lock; see
     blocking._scoped_cache's measured evidence).  NM_LAZY_CACHE opts
     out for tiny fixtures, same as the pipeline.
 
-    Second reason to stage ``all_names`` before blocking (r5): whole-
-    stage codegen FUSES the raw P1-P16 preprocess Project into every
-    blocking arm that consumes it; the fused method exceeds janino's
-    64 KB limit ("Code grows beyond 64 KB") and each of those stages
-    silently falls back to interpreted evaluation while ALSO
-    recomputing preprocess per arm (measured 28 s vs 12 s at sf0.001).
-    The cache scan bounds the codegen stage exactly like the
-    pipeline's checkpointed all_names stage does — the engine's real
+    ``localCheckpoint`` rather than ``cache()`` (r6): a cached frame
+    keeps its full ANALYZED PLAN, and every downstream job re-
+    canonicalizes that tree for the cache lookup — with the config-
+    schema preprocess plan (a regex forest over ~20 columns) that
+    driver-side work measured ~25 s across the blocking DAG's ~20 jobs
+    at sf0.01 (35 s → 13.6 s for the same candidates computation).
+    The checkpoint truncates the plan to a LogicalRDD leaf, exactly
+    like the pipeline's stage boundaries do — the engine's real
     execution model always stages all_names, so the contract queries
-    must too."""
-    df = df.cache()
+    must too.  (It also bounds whole-stage codegen: fusing the raw
+    P1-P16 Project into every blocking arm blew janino's 64 KB method
+    limit and silently fell back to interpreted eval — r5 finding.)"""
     if B.eager_cache_enabled():
-        df.count()
-    return df
+        return df.localCheckpoint(eager=True)
+    return df.cache()
 
 
 AN_COLS = ["record_id", "first_name", "last_name", "dob", "gender",

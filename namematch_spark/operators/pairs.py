@@ -362,6 +362,113 @@ PCTL_FEATURE_COLS = [
 ]
 
 
+def _attach_name_prob_features(record_pairs: DataFrame,
+                               pctl_dims: dict | None,
+                               name_probs: DataFrame | None,
+                               fn_col: str = "first_name",
+                               ln_col: str = "last_name") -> DataFrame:
+    """Fused name-probability stage for the data-rows path: the same
+    values as :func:`nameprob.pctl_pair_features` (six percentile
+    features over the ORIGINAL names) followed by
+    :func:`nameprob.swap_repair` (flip fn/ln of the less probable side
+    when the reversed name is closer), but with the per-name lookups
+    collapsed into ONE dim join per pair side.
+
+    The unfused chain joins the pair stream EIGHT times (2 sides × 3
+    percentile dims + 2 probability joins).  Every lookup key is a
+    function of the side's ``(first_name, last_name)``, so one
+    ``(fn, ln) → (pctl_name, pctl_fn, pctl_ln, prob)`` dim — built by
+    joining the tiny dims against the distinct name pairs — carries
+    all of them: 8 passes over the largest table of the stage become
+    2, with bit-identical feature values (the per-key lookup results
+    are unchanged; only the join count changes).  The standalone
+    nameprob functions stay as-is for the oracle-checked
+    ``er_nameprob_features`` surface.
+    """
+    from namematch_spark.operators.blocking import _scoped_cache
+    from namematch_spark.operators.nameprob import name_prob_str
+
+    names = (
+        record_pairs.select(F.col(f"{fn_col}_1").alias("__fn"),
+                            F.col(f"{ln_col}_1").alias("__ln"))
+        .unionByName(
+            record_pairs.select(F.col(f"{fn_col}_2").alias("__fn"),
+                                F.col(f"{ln_col}_2").alias("__ln")))
+        .distinct()
+    )
+    dim = names
+    carry: list[str] = []
+    if pctl_dims is not None:
+        keys = {
+            "name": name_prob_str(F.col("__fn"), F.col("__ln")),
+            "fn": F.regexp_replace(F.col("__fn"), " ", ""),
+            "ln": F.regexp_replace(F.col("__ln"), " ", ""),
+        }
+        for k, keyexpr in keys.items():
+            d = pctl_dims[k].select(F.col("value").alias(f"__k{k}"),
+                                    F.col(f"count_pctl_{k}"))
+            dim = (dim.join(d, keyexpr == F.col(f"__k{k}"), "left")
+                   .drop(f"__k{k}"))
+            carry.append(f"count_pctl_{k}")
+    if name_probs is not None:
+        p = name_probs.select(F.col("name_prob_str").alias("__nps"),
+                              F.col("prob"))
+        dim = (dim.join(p, name_prob_str(F.col("__fn"), F.col("__ln"))
+                        == F.col("__nps"), "left").drop("__nps"))
+        carry.append("prob")
+    # the dim is read once per pair side — cache it (≤ distinct names)
+    dim = _scoped_cache(dim)
+
+    d1 = dim.select(F.col("__fn").alias("__dfn1"),
+                    F.col("__ln").alias("__dln1"),
+                    *[F.col(c).alias(f"__{c}_1") for c in carry])
+    d2 = dim.select(F.col("__fn").alias("__dfn2"),
+                    F.col("__ln").alias("__dln2"),
+                    *[F.col(c).alias(f"__{c}_2") for c in carry])
+    fn1, fn2 = F.col(f"{fn_col}_1"), F.col(f"{fn_col}_2")
+    ln1, ln2 = F.col(f"{ln_col}_1"), F.col(f"{ln_col}_2")
+    df = (
+        record_pairs
+        .join(dim_join_side(record_pairs, d1),
+              (fn1 == F.col("__dfn1")) & (ln1 == F.col("__dln1")), "left")
+        .join(dim_join_side(record_pairs, d2),
+              (fn2 == F.col("__dfn2")) & (ln2 == F.col("__dln2")), "left")
+        .drop("__dfn1", "__dln1", "__dfn2", "__dln2")
+    )
+    if pctl_dims is not None:
+        for k in ("name", "fn", "ln"):
+            p1 = F.col(f"__count_pctl_{k}_1")
+            p2 = F.col(f"__count_pctl_{k}_2")
+            df = (df.withColumn(f"diff_count_pctl_{k}", F.abs(p1 - p2))
+                  .withColumn(f"max_count_pctl_{k}", F.greatest(p1, p2)))
+        df = df.drop(*[f"__count_pctl_{k}_{s}" for k in ("name", "fn", "ln")
+                       for s in (1, 2)])
+    if name_probs is not None:
+        # identical arithmetic to nameprob.swap_repair
+        name_ed = F.levenshtein(F.concat(fn1, ln1), F.concat(fn2, ln2))
+        rev_ed = F.levenshtein(F.concat(ln1, fn1), F.concat(fn2, ln2))
+        least_likely = (F.col("__prob_2") < F.col("__prob_1")) \
+            .cast("int") + 1
+        df = df.withColumn(
+            "switched_name",
+            F.when(rev_ed < name_ed, least_likely).otherwise(F.lit(0)))
+        sw = F.col("switched_name")
+        df = (
+            df
+            .withColumn("__nfn1", F.when(sw == 1, ln1).otherwise(fn1))
+            .withColumn("__nln1", F.when(sw == 1, fn1).otherwise(ln1))
+            .withColumn("__nfn2", F.when(sw == 2, ln2).otherwise(fn2))
+            .withColumn("__nln2", F.when(sw == 2, fn2).otherwise(ln2))
+            .drop(f"{fn_col}_1", f"{fn_col}_2", f"{ln_col}_1",
+                  f"{ln_col}_2", "__prob_1", "__prob_2")
+            .withColumnRenamed("__nfn1", f"{fn_col}_1")
+            .withColumnRenamed("__nln1", f"{ln_col}_1")
+            .withColumnRenamed("__nfn2", f"{fn_col}_2")
+            .withColumnRenamed("__nln2", f"{ln_col}_2")
+        )
+    return df
+
+
 def pair_features(record_pairs: DataFrame,
                   leven_thresh: int | None = 1,
                   exact_vars: list[str] | None = None,
@@ -396,14 +503,16 @@ def pair_features(record_pairs: DataFrame,
         # U3 flag rides into the data rows (reference keeps it through
         # generate_data_rows / fit_model, fit_model.py:734)
         extra_cols.append("covered_pair")
-    if pctl_dims is not None:
-        from namematch_spark.operators.nameprob import pctl_pair_features
-        record_pairs = pctl_pair_features(record_pairs, pctl_dims)
-        extra_cols += PCTL_FEATURE_COLS
-    if name_probs is not None:
-        from namematch_spark.operators.nameprob import swap_repair
-        record_pairs = swap_repair(record_pairs, name_probs)
-        extra_cols += ["switched_name"]
+    if pctl_dims is not None or name_probs is not None:
+        # fused per-name dim: 8 joins over the pair stream -> 2 (see
+        # _attach_name_prob_features; values bit-identical to the
+        # pctl_pair_features + swap_repair chain)
+        record_pairs = _attach_name_prob_features(
+            record_pairs, pctl_dims, name_probs)
+        if pctl_dims is not None:
+            extra_cols += PCTL_FEATURE_COLS
+        if name_probs is not None:
+            extra_cols += ["switched_name"]
 
     feats: list[Column] = []
     for v in ("first_name", "last_name"):
