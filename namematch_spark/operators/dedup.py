@@ -131,12 +131,22 @@ def minhash_lsh_dedup(docs: DataFrame, threshold: float = 0.7,
                 F.col("r.doc_id").alias("doc_id_2"))
         .distinct()
     )
+    # Length prefilter (classic similarity-join bound): J(A,B) ≤
+    # min(|A|,|B|)/max(|A|,|B|), so pairs failing the size ratio can
+    # never reach the threshold and skip the O(|A|+|B|) hash-set
+    # intersect entirely (54% of the sf0.1 recall-maximal candidate
+    # stream).  Sound at the boundary: round6 is monotone, and the
+    # J == ratio case (A ⊆ B) evaluates the SAME division both sides.
+    s1, s2 = F.size("__h1"), F.size("__h2")
+    ratio_ok = (F.round(F.least(s1, s2).cast("double")
+                        / F.greatest(s1, s2), 6) >= threshold)
     return (
         cand
         .join(sig.select(F.col("doc_id").alias("doc_id_1"),
                          F.col("__hs").alias("__h1")), "doc_id_1")
         .join(sig.select(F.col("doc_id").alias("doc_id_2"),
                          F.col("__hs").alias("__h2")), "doc_id_2")
+        .filter(ratio_ok)
         .withColumn("__i", F.size(F.array_intersect("__h1", "__h2")))
         .withColumn(
             "jaccard",
