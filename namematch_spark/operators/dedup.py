@@ -110,6 +110,10 @@ def minhash_lsh_dedup(docs: DataFrame, threshold: float = 0.7,
     bands = num_hashes // rows_per_band
     band_rows = sig.select(
         "doc_id",
+        # per-doc shingle count rides along (one int) so the length
+        # prefilter below can run BEFORE the heavy shingle arrays are
+        # joined onto the pair stream
+        F.size("__hs").alias("__ns"),
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda bnd: F.struct(
@@ -117,41 +121,43 @@ def minhash_lsh_dedup(docs: DataFrame, threshold: float = 0.7,
                 F.concat_ws("_", F.slice(
                     F.col("__sig"), bnd * rows_per_band + 1,
                     rows_per_band)).alias("bkey")))).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey")
+    ).select("doc_id", "__ns", "bb.band", "bb.bkey")
 
     sizes = band_rows.groupBy("band", "bkey").agg(F.count("*").alias("n"))
     pruned = (band_rows.join(sizes, ["band", "bkey"])
               .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
               .drop("n"))
     l, r = pruned.alias("l"), pruned.alias("r")
+    # Length prefilter (classic similarity-join bound): J(A,B) ≤
+    # min(|A|,|B|)/max(|A|,|B|), so pairs failing the size ratio can
+    # never reach the threshold and skip BOTH the array attach joins
+    # and the O(|A|+|B|) hash-set intersect (54% of the sf0.1
+    # recall-maximal candidate stream).  __ns is a function of doc_id,
+    # so the distinct over (pair, sizes) equals the distinct over the
+    # pair alone.  Sound at the boundary: round6 is monotone, and the
+    # J == ratio case (A ⊆ B) evaluates the SAME division both sides.
     cand = (
         l.join(r, ["band", "bkey"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("doc_id_1"),
-                F.col("r.doc_id").alias("doc_id_2"))
+                F.col("r.doc_id").alias("doc_id_2"),
+                F.col("l.__ns").alias("__n1"),
+                F.col("r.__ns").alias("__n2"))
         .distinct()
+        .filter(F.round(F.least("__n1", "__n2").cast("double")
+                        / F.greatest("__n1", "__n2"), 6) >= threshold)
     )
-    # Length prefilter (classic similarity-join bound): J(A,B) ≤
-    # min(|A|,|B|)/max(|A|,|B|), so pairs failing the size ratio can
-    # never reach the threshold and skip the O(|A|+|B|) hash-set
-    # intersect entirely (54% of the sf0.1 recall-maximal candidate
-    # stream).  Sound at the boundary: round6 is monotone, and the
-    # J == ratio case (A ⊆ B) evaluates the SAME division both sides.
-    s1, s2 = F.size("__h1"), F.size("__h2")
-    ratio_ok = (F.round(F.least(s1, s2).cast("double")
-                        / F.greatest(s1, s2), 6) >= threshold)
     return (
         cand
         .join(sig.select(F.col("doc_id").alias("doc_id_1"),
                          F.col("__hs").alias("__h1")), "doc_id_1")
         .join(sig.select(F.col("doc_id").alias("doc_id_2"),
                          F.col("__hs").alias("__h2")), "doc_id_2")
-        .filter(ratio_ok)
         .withColumn("__i", F.size(F.array_intersect("__h1", "__h2")))
         .withColumn(
             "jaccard",
             F.round(F.col("__i").cast("double")
-                    / (F.size("__h1") + F.size("__h2") - F.col("__i")), 6))
+                    / (F.col("__n1") + F.col("__n2") - F.col("__i")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_1", "doc_id_2", "jaccard")
     )
@@ -182,25 +188,35 @@ def ngram_jaccard_dedup(docs: DataFrame, threshold: float = 0.5,
         F.explode(word_shingles(text_col, shingle_n)).alias("sh")))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
+    # Per-doc size attached to every postings row (one narrow int): the
+    # classic similarity-join length bound J(A,B) ≤ min(|A|,|B|) /
+    # max(|A|,|B|) then prunes pairs BEFORE the pair groupBy (the
+    # operator's largest shuffle), and the surviving groups carry both
+    # sizes out of the aggregation — the two per-side sizes joins over
+    # the pair stream disappear outright.  round6 is monotone, so
+    # round(J) ≥ threshold implies round(bound) ≥ threshold: no pair
+    # that could pass the final rounded filter is pruned.
     postings = sh.groupBy("sh").agg(F.count("*").alias("df"))
     sh_pruned = _scoped_cache(
         sh.join(postings.filter(F.col("df") > max_postings),
-                "sh", "left_anti"))
+                "sh", "left_anti")
+        .join(sizes, "doc_id"))
 
     l, r = sh_pruned.alias("l"), sh_pruned.alias("r")
+    ratio = (F.least(F.col("l.n_sh"), F.col("r.n_sh")).cast("double")
+             / F.greatest(F.col("l.n_sh"), F.col("r.n_sh")))
     shared = (
         l.join(r, "sh")
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .filter(F.round(ratio, 6) >= F.lit(threshold))
         .groupBy(F.col("l.doc_id").alias("doc_id_1"),
                  F.col("r.doc_id").alias("doc_id_2"))
-        .agg(F.count("*").alias("__shared"))
+        .agg(F.count("*").alias("__shared"),
+             F.max(F.col("l.n_sh")).alias("__n1"),
+             F.max(F.col("r.n_sh")).alias("__n2"))
     )
     return (
         shared
-        .join(sizes.select(F.col("doc_id").alias("doc_id_1"),
-                           F.col("n_sh").alias("__n1")), "doc_id_1")
-        .join(sizes.select(F.col("doc_id").alias("doc_id_2"),
-                           F.col("n_sh").alias("__n2")), "doc_id_2")
         .withColumn(
             "jaccard",
             F.round(F.col("__shared").cast("double")

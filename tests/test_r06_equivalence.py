@@ -199,3 +199,40 @@ def test_window_cc_equals_groupby_join_cc(spark, all_names):
            .groupBy("record_id")
            .agg(F.min("cluster_id").alias("cluster_id")))
     assert _sym_diff(new, old) == 0
+
+
+def test_ngram_length_bound_equals_unpruned_chain(spark):
+    """r6: ngram_jaccard_dedup pushes the J ≤ min/max length bound
+    before the pair groupBy and carries both sizes out of the
+    aggregation (the two per-side sizes joins are gone).  Equal to the
+    r5 formulation (no prefilter, sizes joined after the pair agg) on
+    the sf0.001 documents corpus — including threshold-boundary pairs."""
+    from namematch_spark.operators.dedup import (ngram_jaccard_dedup,
+                                                 word_shingles)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    new = ngram_jaccard_dedup(docs, threshold=0.5)
+
+    sh = docs.select(F.col("doc_id"),
+                     F.explode(word_shingles("text", 3)).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    postings = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    shp = sh.join(postings.filter(F.col("df") > 10000), "sh", "left_anti")
+    l, r = shp.alias("l"), shp.alias("r")
+    shared = (l.join(r, "sh")
+              .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+              .groupBy(F.col("l.doc_id").alias("doc_id_1"),
+                       F.col("r.doc_id").alias("doc_id_2"))
+              .agg(F.count("*").alias("__shared")))
+    old = (shared
+           .join(sizes.select(F.col("doc_id").alias("doc_id_1"),
+                              F.col("n_sh").alias("__n1")), "doc_id_1")
+           .join(sizes.select(F.col("doc_id").alias("doc_id_2"),
+                              F.col("n_sh").alias("__n2")), "doc_id_2")
+           .withColumn("jaccard",
+                       F.round(F.col("__shared").cast("double")
+                               / (F.col("__n1") + F.col("__n2")
+                                  - F.col("__shared")), 6))
+           .filter(F.col("jaccard") >= 0.5)
+           .select("doc_id_1", "doc_id_2", "jaccard"))
+    assert new.count() > 0
+    assert _sym_diff(new, old) == 0
